@@ -1,0 +1,163 @@
+"""Graph containers: host-side symmetric CSR and device-side padded ELL.
+
+The reference keeps three redundant adjacency structures (Eigen sparse,
+upper-triangular hash maps, and flattened CSR -- SURVEY.md C2-C4).  Here
+there is exactly one host container (:class:`Graph`, symmetric CSR with
+an upper-triangular COO view) and one device container
+(:class:`DeviceGraph`).
+
+:class:`DeviceGraph` uses the padded **ELL** layout -- ``(n, max_deg)``
+index/weight matrices, rows padded with the row's own index and weight
+0 -- because XLA wants static shapes and because the two hot access
+patterns of the TPU KL engine are exactly ELL-shaped:
+
+* full SpMV ``A @ x`` = gather + row-sum over the lane axis (the
+  connectionsKernel analog, gKL.cu:104-145);
+* O(degree) incremental updates = gather/scatter of *one* ELL row.
+
+Padding with (self, 0.0) makes both patterns branch-free: gathered pads
+contribute ``0 * x[i]`` and scattered pads add ``0`` to the node's own
+slot.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclasses.dataclass(frozen=True)
+class Graph:
+    """Symmetric weighted graph in CSR form (host / NumPy).
+
+    Attributes:
+      num_nodes: node count n.
+      indptr: int64[n+1] CSR row offsets (both edge directions stored,
+        like the flattened adjacency at gKL.cu:248-268).
+      indices: int32[nnz] column indices, sorted within each row.
+      data: float64[nnz] edge weights.
+    """
+
+    num_nodes: int
+    indptr: np.ndarray
+    indices: np.ndarray
+    data: np.ndarray
+
+    @classmethod
+    def from_upper_coo(
+        cls, n: int, rows: np.ndarray, cols: np.ndarray, weights: np.ndarray
+    ) -> "Graph":
+        """Build from deduplicated upper-triangular COO (rows < cols)."""
+        # Symmetrize: store both directions.
+        r = np.concatenate([rows, cols]).astype(np.int64)
+        c = np.concatenate([cols, rows]).astype(np.int64)
+        w = np.concatenate([weights, weights])
+        order = np.lexsort((c, r))
+        r, c, w = r[order], c[order], w[order]
+        indptr = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(np.bincount(r, minlength=n), out=indptr[1:])
+        return cls(
+            num_nodes=n,
+            indptr=indptr,
+            indices=c.astype(np.int32),
+            data=np.asarray(w),
+        )
+
+    @property
+    def nnz(self) -> int:
+        """Stored entries (2x the undirected edge count)."""
+        return int(self.indices.shape[0])
+
+    @property
+    def degrees(self) -> np.ndarray:
+        """Unweighted degree (neighbors per node)."""
+        return np.diff(self.indptr)
+
+    @property
+    def weighted_degrees(self) -> np.ndarray:
+        """deg_i = sum_j w_ij."""
+        out = np.zeros(self.num_nodes, dtype=self.data.dtype)
+        np.add.at(out, np.repeat(np.arange(self.num_nodes), self.degrees), self.data)
+        return out
+
+    @property
+    def total_weight(self) -> float:
+        """Sum of undirected edge weights T = sum_{i<j} w_ij."""
+        return float(self.data.sum()) / 2.0
+
+    @property
+    def max_degree(self) -> int:
+        d = self.degrees
+        return int(d.max()) if d.size else 0
+
+    def upper_coo(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(rows, cols, weights) with rows < cols, each edge once."""
+        r = np.repeat(np.arange(self.num_nodes, dtype=np.int64), self.degrees)
+        c = self.indices.astype(np.int64)
+        keep = r < c
+        return r[keep], c[keep], self.data[keep]
+
+    def edge_weight(self, u: int, v: int) -> float:
+        """w(u, v), 0 if absent (getEdgeWeight, cKL.cpp:75-82)."""
+        lo, hi = self.indptr[u], self.indptr[u + 1]
+        j = np.searchsorted(self.indices[lo:hi], v)
+        if j < hi - lo and self.indices[lo + j] == v:
+            return float(self.data[lo + j])
+        return 0.0
+
+    def to_ell(self, pad_multiple: int = 8) -> tuple[np.ndarray, np.ndarray]:
+        """Pad CSR rows into (n, dmax) ELL index/weight matrices.
+
+        Pad entries hold (row's own index, weight 0.0).
+        """
+        n = self.num_nodes
+        deg = self.degrees
+        dmax = max(_round_up(self.max_degree, pad_multiple), pad_multiple)
+        ell_idx = np.tile(np.arange(n, dtype=np.int32)[:, None], (1, dmax))
+        ell_w = np.zeros((n, dmax), dtype=self.data.dtype)
+        # Position of each stored entry inside its row.
+        pos = np.arange(self.nnz, dtype=np.int64) - np.repeat(self.indptr[:-1], deg)
+        row = np.repeat(np.arange(n, dtype=np.int64), deg)
+        ell_idx[row, pos] = self.indices
+        ell_w[row, pos] = self.data
+        return ell_idx, ell_w
+
+    def to_device(self, pad_multiple: int = 8, dtype=jnp.float32) -> "DeviceGraph":
+        ell_idx, ell_w = self.to_ell(pad_multiple)
+        return DeviceGraph(
+            ell_indices=jnp.asarray(ell_idx),
+            ell_weights=jnp.asarray(ell_w, dtype=dtype),
+            degrees=jnp.asarray(self.weighted_degrees, dtype=dtype),
+            total_weight=jnp.asarray(self.total_weight, dtype=dtype),
+        )
+
+
+class DeviceGraph(NamedTuple):
+    """Device-resident padded-ELL adjacency (a JAX pytree).
+
+    Attributes:
+      ell_indices: int32[n, dmax] neighbor ids, padded with own row id.
+      ell_weights: float[n, dmax] edge weights, padded with 0.
+      degrees: float[n] weighted degrees (sum_j w_ij).
+      total_weight: float scalar, T = sum_{i<j} w_ij.
+    """
+
+    ell_indices: jnp.ndarray
+    ell_weights: jnp.ndarray
+    degrees: jnp.ndarray
+    total_weight: jnp.ndarray
+
+    @property
+    def num_nodes(self) -> int:
+        return self.ell_indices.shape[0]
+
+    @property
+    def max_degree(self) -> int:
+        return self.ell_indices.shape[1]

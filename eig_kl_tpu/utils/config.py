@@ -1,0 +1,74 @@
+"""Configuration for the two algorithm phases.
+
+All of the reference's hard-coded constants are surfaced here with their
+origins:
+
+* terminate limit ``log2(n) + 5`` (cKL.cpp:303, gKL.cu:443)
+* gain epsilon: cKL stops counting on ``gain <= 0`` (cKL.cpp:382), the
+  GPU versions on ``gain <= 1e-6`` (gKL.cu:26,495)
+* power iteration: max 1000 iterations, convergence ``|delta norm| <
+  1e-6`` only after iteration 100, shift 2.0, seed 42
+  (gKL2.cu:26-27,322,335,370-377)
+* Lanczos/Spectra: nev=2, ncv=min(100, n/2) (cEIG.cpp:195)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+
+@dataclasses.dataclass(frozen=True)
+class KLConfig:
+    """KL refinement options.
+
+    Attributes:
+      gain_eps: swaps with gain <= gain_eps count toward termination
+        (0.0 matches cKL.cpp:382; 1e-6 matches gKL.cu:495).
+      terminate_extra: terminate after ``floor(log2(n)) + terminate_extra``
+        consecutive non-improving swaps (5 in the reference).
+      max_iterations: hard cap on swaps; None = min side size (the
+        natural KL exhaustion point).
+      refresh_interval: if > 0, recompute the cached ``A @ s`` from
+        scratch every this many swaps (a stronger form of the disabled
+        verifyAndCorrectCutSize at gKL.cu:368-382).  0 = off.
+      use_pallas: use the Pallas fused select kernel when on TPU.
+    """
+
+    gain_eps: float = 0.0
+    terminate_extra: int = 5
+    max_iterations: int | None = None
+    refresh_interval: int = 0
+    use_pallas: bool = False
+
+    def terminate_limit(self, num_nodes: int) -> int:
+        return int(math.log2(max(num_nodes, 2))) + self.terminate_extra
+
+
+@dataclasses.dataclass(frozen=True)
+class SpectralConfig:
+    """Spectral (Fiedler) phase options.
+
+    Attributes:
+      solver: "lanczos" (cEIG-flavor, Spectra-equivalent),
+        "power" (gKL2-flavor shift-inverted power iteration), or
+        "lobpcg" (jax.experimental LOBPCG on the spectrum-flipped
+        operator).
+      num_lanczos: Krylov subspace size, min(100, n//2) if None
+        (cEIG.cpp:195's ncv).
+      max_iterations: power-iteration cap (gKL2.cu:26) / Lanczos restarts.
+      tolerance: convergence tolerance (power: delta-norm 1e-6,
+        gKL2.cu:27; lanczos: residual on lambda_2).
+      min_power_iters: power iteration only tests convergence after this
+        many steps (gKL2.cu:377).
+      shift: power-iteration spectral shift (gKL2.cu:335).
+      seed: RNG seed for the initial vector (srand(42), gKL2.cu:322).
+    """
+
+    solver: str = "lanczos"
+    num_lanczos: int | None = None
+    max_iterations: int = 1000
+    tolerance: float = 1e-6
+    min_power_iters: int = 100
+    shift: float = 2.0
+    seed: int = 42

@@ -1,0 +1,70 @@
+"""Test configuration.
+
+Tests run on a simulated 8-device CPU mesh so that multi-chip sharding
+paths are exercised without TPU hardware, and with x64 enabled so the
+spectral phase can be validated against the reference's double-precision
+golden eigenvalues (pre_saved_EIG/*_out.txt) to 1e-6.
+"""
+
+import os
+
+# Must be set before jax is imported anywhere.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np
+import pytest
+
+REFERENCE_DIR = "/root/reference"
+CIRCUIT_DIR = os.path.join(REFERENCE_DIR, "circuit")
+GOLDEN_EIG_DIR = os.path.join(REFERENCE_DIR, "pre_saved_EIG")
+
+
+def circuit_path(name: str) -> str:
+    return os.path.join(CIRCUIT_DIR, name + ".hgr")
+
+
+def golden_eig_path(name: str) -> str:
+    return os.path.join(GOLDEN_EIG_DIR, name + ".hgr_out.txt")
+
+
+@pytest.fixture(scope="session")
+def fract():
+    from eig_kl_tpu.io.hgr import read_hgr
+
+    return read_hgr(circuit_path("fract"))
+
+
+@pytest.fixture(scope="session")
+def ibm01():
+    from eig_kl_tpu.io.hgr import read_hgr
+
+    return read_hgr(circuit_path("ibm01"))
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0)
+
+
+def random_hypergraph(rng, num_nodes=64, num_nets=96, max_net=6):
+    """Small random hypergraph for property tests."""
+    from eig_kl_tpu.io.hgr import Hypergraph
+
+    sizes = rng.integers(2, max_net + 1, size=num_nets)
+    pins = np.concatenate(
+        [rng.choice(num_nodes, size=k, replace=False) for k in sizes]
+    ).astype(np.int32)
+    offs = np.zeros(num_nets + 1, dtype=np.int64)
+    np.cumsum(sizes, out=offs[1:])
+    return Hypergraph(
+        num_nodes=num_nodes, num_nets=num_nets, pins=pins, net_offsets=offs
+    )

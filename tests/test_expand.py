@@ -1,0 +1,123 @@
+"""Tests for clique expansion and graph containers."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from eig_kl_tpu.io.hgr import Hypergraph, read_hgr
+from eig_kl_tpu.graph.expand import clique_expand, expand_pairs
+
+from conftest import circuit_path, random_hypergraph
+
+
+def tiny_hg():
+    """Two nets: {0,1,2} (3-pin) and {1,2} (2-pin) over 4 nodes."""
+    return Hypergraph(
+        num_nodes=4,
+        num_nets=2,
+        pins=np.array([0, 1, 2, 1, 2], dtype=np.int32),
+        net_offsets=np.array([0, 3, 5], dtype=np.int64),
+    )
+
+
+def test_expand_weights_kl():
+    """KL convention: w = 1/(k-1) per pair (cKL.cpp:117), duplicates sum."""
+    g = clique_expand(tiny_hg(), "kl")
+    # 3-pin net -> pairs (0,1),(0,2),(1,2) at w=1/2; 2-pin net -> (1,2) at w=1.
+    assert g.edge_weight(0, 1) == pytest.approx(0.5)
+    assert g.edge_weight(0, 2) == pytest.approx(0.5)
+    assert g.edge_weight(1, 2) == pytest.approx(1.5)
+    assert g.edge_weight(0, 3) == 0.0
+    assert g.edge_weight(2, 1) == pytest.approx(1.5)  # symmetric
+    assert g.total_weight == pytest.approx(2.5)
+
+
+def test_expand_weights_eig():
+    """EIG convention: w = 2/k per pair (cEIG.cpp:110)."""
+    g = clique_expand(tiny_hg(), "eig")
+    assert g.edge_weight(0, 1) == pytest.approx(2.0 / 3.0)
+    assert g.edge_weight(1, 2) == pytest.approx(2.0 / 3.0 + 1.0)
+
+
+def test_expand_skips_tiny_nets():
+    """1-pin nets contribute no edges (gKL.cu:622)."""
+    hg = Hypergraph(
+        num_nodes=3,
+        num_nets=2,
+        pins=np.array([0, 1, 2], dtype=np.int32),
+        net_offsets=np.array([0, 1, 3], dtype=np.int64),
+    )
+    g = clique_expand(hg, "kl")
+    assert g.nnz == 2  # just (1,2) both directions
+    assert g.edge_weight(1, 2) == pytest.approx(1.0)
+
+
+@pytest.mark.parametrize(
+    "name,pair_count",
+    [("fract", 869), ("ibm01", 144148)],
+)
+def test_pair_counts_match_baseline(name, pair_count):
+    """Pre-dedup pair counts Sum k(k-1)/2 from BASELINE.md."""
+    hg = read_hgr(circuit_path(name))
+    u, v, w = expand_pairs(hg, "kl")
+    assert u.shape[0] == pair_count
+
+
+def test_expand_matches_scipy(rng):
+    """Cross-check the vectorized expansion against a naive scipy build."""
+    hg = random_hypergraph(rng, num_nodes=50, num_nets=80)
+    g = clique_expand(hg, "kl")
+
+    rows, cols, ws = [], [], []
+    offs = hg.net_offsets
+    for i in range(hg.num_nets):
+        net = hg.pins[offs[i] : offs[i + 1]]
+        k = len(net)
+        if k < 2:
+            continue
+        w = 1.0 / (k - 1)
+        for a in range(k):
+            for b in range(a + 1, k):
+                rows += [net[a], net[b]]
+                cols += [net[b], net[a]]
+                ws += [w, w]
+    ref = sp.coo_matrix(
+        (ws, (rows, cols)), shape=(hg.num_nodes, hg.num_nodes)
+    ).tocsr()
+    ref.sum_duplicates()
+    ours = sp.csr_matrix(
+        (g.data, g.indices, g.indptr), shape=(g.num_nodes, g.num_nodes)
+    )
+    assert (abs(ours - ref) > 1e-12).nnz == 0
+
+
+def test_ell_padding(rng):
+    hg = random_hypergraph(rng, num_nodes=40, num_nets=60)
+    g = clique_expand(hg, "kl")
+    ell_idx, ell_w = g.to_ell(pad_multiple=8)
+    assert ell_idx.shape == ell_w.shape
+    assert ell_idx.shape[1] % 8 == 0
+    assert ell_idx.shape[1] >= g.max_degree
+    # Row sums over ELL weights = weighted degrees.
+    np.testing.assert_allclose(
+        ell_w.sum(axis=1), g.weighted_degrees, rtol=1e-6
+    )
+    # Pad entries point at the row itself.
+    n, dmax = ell_idx.shape
+    deg = g.degrees
+    for i in [0, n // 2, n - 1]:
+        assert (ell_idx[i, deg[i] :] == i).all()
+        assert (ell_w[i, deg[i] :] == 0).all()
+
+
+def test_device_graph_roundtrip(rng):
+    import jax.numpy as jnp
+
+    hg = random_hypergraph(rng, num_nodes=32, num_nets=48)
+    g = clique_expand(hg, "kl")
+    dg = g.to_device()
+    assert dg.num_nodes == 32
+    assert float(dg.total_weight) == pytest.approx(g.total_weight, rel=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(dg.degrees), g.weighted_degrees, rtol=1e-6
+    )

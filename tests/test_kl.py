@@ -1,0 +1,157 @@
+"""KL engine tests: exact trajectory agreement with a direct Python
+transcription of the reference algorithm, plus invariants."""
+
+import math
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from eig_kl_tpu.graph.expand import clique_expand
+from eig_kl_tpu.kl.engine import refine
+from eig_kl_tpu.kl.init import random_split, split_from_eig, sides_balance
+from eig_kl_tpu.utils.config import KLConfig
+
+from conftest import golden_eig_path, random_hypergraph
+from test_partition_ops import brute_cut, brute_gains
+
+
+def reference_kl(g, sides, gain_eps=0.0):
+    """Direct Python transcription of the reference KL semantics
+    (gKL.cu:453-519): per iteration recompute membership-aware D for all
+    unlocked nodes, pick first-max on each side, swap, lock both,
+    terminate after log2(n)+5 consecutive gains <= eps."""
+    n = g.num_nodes
+    sides = np.asarray(sides).copy()
+    free = np.ones(n, dtype=bool)
+    cut = brute_cut(g, sides)
+    cuts, gains = [cut], [0.0]
+    limit = int(math.log2(n)) + 5
+    term = 0
+    while (free & (sides == 0)).any() and (free & (sides == 1)).any():
+        d = brute_gains(g, sides)
+        dl = np.where(free & (sides == 0), d, -np.inf)
+        dr = np.where(free & (sides == 1), d, -np.inf)
+        a, b = int(np.argmax(dl)), int(np.argmax(dr))
+        gain = dl[a] + dr[b] - 2.0 * g.edge_weight(a, b)
+        cut -= gain
+        sides[a], sides[b] = 1, 0
+        free[a] = free[b] = False
+        cuts.append(cut)
+        gains.append(gain)
+        if gain <= gain_eps:
+            term += 1
+            if term > limit:
+                break
+        else:
+            term = 0
+    return np.asarray(cuts), np.asarray(gains), sides
+
+
+def dyadic_hypergraph(rng, num_nodes=60, num_nets=120):
+    """Random hypergraph whose KL weights 1/(k-1) are exactly
+    representable (k in {2, 3, 5} -> w in {1, 1/2, 1/4}), so incremental
+    and from-scratch gain arithmetic agree bit-for-bit and argmax
+    tie-breaking is deterministic across implementations."""
+    from eig_kl_tpu.io.hgr import Hypergraph
+
+    sizes = rng.choice([2, 3, 5], size=num_nets, p=[0.6, 0.25, 0.15])
+    pins = np.concatenate(
+        [rng.choice(num_nodes, size=k, replace=False) for k in sizes]
+    ).astype(np.int32)
+    offs = np.zeros(num_nets + 1, dtype=np.int64)
+    np.cumsum(sizes, out=offs[1:])
+    return Hypergraph(
+        num_nodes=num_nodes, num_nets=num_nets, pins=pins, net_offsets=offs
+    )
+
+
+@pytest.fixture(scope="module")
+def kl_problem():
+    rng = np.random.default_rng(11)
+    hg = dyadic_hypergraph(rng, num_nodes=60, num_nets=120)
+    g = clique_expand(hg, "kl")
+    sides = random_split(g.num_nodes, seed=5)
+    return g, sides
+
+
+def test_trajectory_matches_reference_semantics(kl_problem):
+    g, sides = kl_problem
+    dg = g.to_device(dtype=jnp.float64)
+    res = refine(dg, sides, KLConfig())
+    ref_cuts, ref_gains, ref_sides = reference_kl(g, sides)
+    assert res.iterations == len(ref_cuts) - 1
+    np.testing.assert_allclose(res.cut_trajectory, ref_cuts, rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(res.gain_trajectory, ref_gains, rtol=1e-9, atol=1e-9)
+    np.testing.assert_array_equal(res.sides, ref_sides)
+
+
+def test_incremental_matches_verified(kl_problem):
+    g, sides = kl_problem
+    dg = g.to_device(dtype=jnp.float64)
+    res = refine(dg, sides, KLConfig())
+    assert res.drift < 1e-9
+    assert res.verified_cut == pytest.approx(brute_cut(g, res.sides), rel=1e-9)
+
+
+def test_trajectory_telescopes(kl_problem):
+    g, sides = kl_problem
+    dg = g.to_device(dtype=jnp.float64)
+    res = refine(dg, sides, KLConfig())
+    np.testing.assert_allclose(
+        res.cut_trajectory[:-1] - res.gain_trajectory[1:],
+        res.cut_trajectory[1:],
+        rtol=1e-9,
+    )
+    assert res.best_cut == pytest.approx(res.cut_trajectory.min(), rel=1e-9)
+
+
+def test_balance_preserved(kl_problem):
+    g, sides = kl_problem
+    dg = g.to_device(dtype=jnp.float64)
+    res = refine(dg, sides, KLConfig())
+    assert sides_balance(res.sides) == sides_balance(sides)
+    assert sides_balance(res.best_sides) == sides_balance(sides)
+
+
+def test_best_sides_achieve_best_cut(kl_problem):
+    g, sides = kl_problem
+    dg = g.to_device(dtype=jnp.float64)
+    res = refine(dg, sides, KLConfig())
+    assert brute_cut(g, res.best_sides) == pytest.approx(res.best_cut, rel=1e-9)
+
+
+def test_max_iterations_cap(kl_problem):
+    g, sides = kl_problem
+    dg = g.to_device(dtype=jnp.float64)
+    res = refine(dg, sides, KLConfig(max_iterations=3))
+    assert res.iterations <= 3
+
+
+def test_fract_with_golden_eig_init(fract):
+    """End-to-end on a real circuit with the golden spectral init:
+    the -EIG flow of cKL (cKL.cpp:440-444)."""
+    g = clique_expand(fract, "kl")
+    sides = split_from_eig(golden_eig_path("fract"))
+    dg = g.to_device(dtype=jnp.float32)
+    res = refine(dg, sides, KLConfig())
+    assert res.iterations > 0
+    assert res.best_cut <= res.initial_cut
+    assert res.improvement >= 0.0
+    assert res.drift < 1e-2  # f32 incremental tracking stays tight
+    # From-scratch CSR cut agrees with the device verified cut.
+    assert brute_cut(g, res.sides) == pytest.approx(res.verified_cut, rel=1e-4)
+
+
+def test_fract_eig_beats_random_on_average(fract):
+    """EIG init should give a better starting cut than random init
+    (the reference's 15-30% claim, README.md:163 -- we assert the weak
+    form: initial cut from EIG < initial cut from random)."""
+    g = clique_expand(fract, "kl")
+    dg = g.to_device(dtype=jnp.float32)
+    eig_res = refine(dg, split_from_eig(golden_eig_path("fract")), KLConfig())
+    rand_init_cuts = []
+    for seed in range(3):
+        r = refine(dg, random_split(g.num_nodes, seed), KLConfig(max_iterations=0))
+        rand_init_cuts.append(r.initial_cut)
+    assert eig_res.initial_cut < np.mean(rand_init_cuts)

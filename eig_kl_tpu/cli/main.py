@@ -1,0 +1,196 @@
+"""Command-line interface.
+
+The reference's four executables become subcommands of one CLI
+(run as ``python -m eig_kl_tpu ...``):
+
+* ``eig <file>``              == ``./cEIG <file>``      (cEIG.cpp:138)
+* ``kl <file> [-EIG]``        == ``./cKL|./gKL``        (cKL.cpp:424, gKL.cu:672)
+* ``fused <file> [-EIG]``     == ``./gKL2``             (gKL2.cu:989)
+* ``generate <mult> -o FILE`` == ``circuit_generator.py`` (:71-84)
+* ``info``                    == printGPUInfo           (gKL.cu:555-571)
+
+Output artifacts land in ``pre_saved_EIG/`` and ``results/`` relative
+to the working directory, with reference-compatible names and formats.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+
+def _add_common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("input", help="path to .hgr circuit")
+    p.add_argument(
+        "-EIG",
+        dest="eig_init",
+        action="store_true",
+        help="initialize from pre_saved_EIG/<base>_out.txt (the reference -EIG flag)",
+    )
+    p.add_argument("--seed", type=int, default=0, help="random-init seed")
+    p.add_argument(
+        "--f64", action="store_true", help="run the KL engine in float64"
+    )
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="eig_kl_tpu", description="TPU-native EIG+KL hypergraph partitioner"
+    )
+    sub = ap.add_subparsers(dest="command", required=True)
+
+    p_eig = sub.add_parser("eig", help="spectral (Fiedler) partition, writes pre_saved_EIG/")
+    p_eig.add_argument("input")
+    p_eig.add_argument(
+        "--solver", choices=["lanczos", "power"], default="lanczos"
+    )
+    p_eig.add_argument("--f32", action="store_true", help="solve in float32")
+    p_eig.add_argument("--tol", type=float, default=1e-6)
+
+    p_kl = sub.add_parser("kl", help="KL refinement (random or -EIG init)")
+    _add_common(p_kl)
+    p_kl.add_argument(
+        "--gain-eps",
+        type=float,
+        default=0.0,
+        help="non-improving threshold (0.0 = cKL, 1e-6 = gKL)",
+    )
+
+    p_fused = sub.add_parser(
+        "fused", help="in-process power-iteration EIG + KL (gKL2 pipeline)"
+    )
+    _add_common(p_fused)
+
+    p_gen = sub.add_parser("generate", help="synthetic circuit generator")
+    p_gen.add_argument("size", type=float, help="size multiplier (1.0 = 201,920 nodes)")
+    p_gen.add_argument("--output", "-o", default="generated_circuit.hgr")
+    p_gen.add_argument("--seed", type=int, default=None)
+
+    sub.add_parser("info", help="print accelerator devices (printGPUInfo analog)")
+    return ap
+
+
+def cmd_eig(args) -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from eig_kl_tpu.io.eigfile import eig_out_path, write_eig_file
+    from eig_kl_tpu.io.hgr import read_hgr
+    from eig_kl_tpu.models.pipelines import spectral_partition
+    from eig_kl_tpu.utils.config import SpectralConfig
+
+    dtype = jnp.float32 if args.f32 else jnp.float64
+    if dtype == jnp.float64:
+        jax.config.update("jax_enable_x64", True)
+    t0 = time.perf_counter()
+    hg = read_hgr(args.input)
+    print(f"Problem size: {hg.num_nets} nets, {hg.num_nodes} nodes, {hg.num_pins} pins")
+    run = spectral_partition(
+        hg, SpectralConfig(solver=args.solver, tolerance=args.tol), dtype=dtype
+    )
+    os.makedirs("pre_saved_EIG", exist_ok=True)
+    os.makedirs("results", exist_ok=True)
+    out = eig_out_path(args.input)
+    write_eig_file(out, run.eig)
+    left, right = run.eig.balance()
+    print(f"lambda_2 = {run.eig.eigenvalue:.12g}")
+    print(f"median   = {run.eig.median:.12g}")
+    print(f"balance  = {left} / {right}")
+    print(f"Execution time: {time.perf_counter() - t0:.3f} seconds")
+    print(f"Results written to: {out}")
+    return 0
+
+
+def _run_kl(args, fused: bool) -> int:
+    import jax.numpy as jnp
+
+    from eig_kl_tpu.io.eigfile import eig_out_path
+    from eig_kl_tpu.io.hgr import read_hgr
+    from eig_kl_tpu.models.pipelines import fused_partition, kl_partition
+    from eig_kl_tpu.utils.config import KLConfig, SpectralConfig
+    from eig_kl_tpu.utils import logging as rlog
+
+    dtype = jnp.float64 if args.f64 else jnp.float32
+    if args.f64:
+        import jax
+
+        jax.config.update("jax_enable_x64", True)
+    t0 = time.perf_counter()
+    hg = read_hgr(args.input)
+    print(f"Circuit: {hg.num_nets} nets, {hg.num_nodes} nodes, {hg.num_pins} pins")
+    gain_eps = getattr(args, "gain_eps", 1e-6)
+    kl_config = KLConfig(gain_eps=gain_eps)
+    if fused:
+        run = fused_partition(
+            hg,
+            use_eig=args.eig_init,
+            spectral_config=SpectralConfig(solver="power"),
+            kl_config=kl_config,
+            seed=args.seed,
+            dtype=dtype,
+        )
+    else:
+        init = eig_out_path(args.input) if args.eig_init else None
+        run = kl_partition(
+            hg, init=init, kl_config=kl_config, seed=args.seed, dtype=dtype
+        )
+    runtime = time.perf_counter() - t0
+    out = rlog.kl_results_path(args.input, args.eig_init)
+    rlog.write_kl_trajectory(out, run.kl)
+    print(rlog.format_final_results(run.kl, runtime))
+    for name, secs in sorted(run.timings.items()):
+        print(f"  [{name}] {secs:.3f}s")
+    print(f"Trajectory written to: {out}")
+    return 0
+
+
+def cmd_generate(args) -> int:
+    from eig_kl_tpu.models.generator import CircuitGenerator
+
+    hg = CircuitGenerator(args.size, args.seed).write(args.output)
+    print(f"Generated circuit written to: {args.output}")
+    print(
+        f"Circuit size: {args.size}x reference "
+        f"({hg.num_nets} nets, {hg.num_nodes} nodes, {hg.num_pins} pins)"
+    )
+    return 0
+
+
+def cmd_info() -> int:
+    import jax
+
+    print("================= Device Info ===================")
+    for i, d in enumerate(jax.devices()):
+        print(f"Device {i}: {d.device_kind} ({d.platform})")
+        print(f"  id={d.id} process={d.process_index}")
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    try:
+        if args.command == "eig":
+            return cmd_eig(args)
+        if args.command == "kl":
+            return _run_kl(args, fused=False)
+        if args.command == "fused":
+            return _run_kl(args, fused=True)
+        if args.command == "generate":
+            return cmd_generate(args)
+        if args.command == "info":
+            return cmd_info()
+    except FileNotFoundError as e:
+        # Fail-fast with a clean message, like the reference's
+        # try/catch->exit mains (cKL.cpp:459-464, cEIG.cpp:231-234).
+        print(f"Error: file not found: {e.filename}", file=sys.stderr)
+        return 1
+    except (ValueError, OSError) as e:
+        print(f"Error: {e}", file=sys.stderr)
+        return 1
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

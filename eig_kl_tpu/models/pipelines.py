@@ -1,0 +1,121 @@
+"""End-to-end partitioning pipelines.
+
+The reference's four executables map to three library pipelines (the
+CPU and GPU KL variants collapse into one device-resident engine):
+
+* :func:`spectral_partition`  == ``./cEIG <file>``   (cEIG.cpp:138-229)
+* :func:`kl_partition`        == ``./cKL|./gKL <file> [-EIG]``
+  (cKL.cpp:424-468, gKL.cu:672-713)
+* :func:`fused_partition`     == ``./gKL2 <file> [-EIG]``
+  (gKL2.cu:989-1033) -- in-process power-iteration init feeding KL.
+  Unlike gKL2, the spectral solve runs ONCE (the reference runs it
+  twice under -EIG: gKL2.cu:1018 and :440).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from eig_kl_tpu.graph.expand import clique_expand
+from eig_kl_tpu.io.eigfile import EigResult
+from eig_kl_tpu.io.hgr import Hypergraph
+from eig_kl_tpu.kl.engine import KLResult, refine
+from eig_kl_tpu.kl.init import random_split, split_from_eig
+from eig_kl_tpu.spectral.partition import eig_partition
+from eig_kl_tpu.utils.config import KLConfig, SpectralConfig
+from eig_kl_tpu.utils.tracing import Tracer
+
+
+@dataclasses.dataclass
+class PartitionRun:
+    """Result bundle of an end-to-end run."""
+
+    circuit: str
+    eig: EigResult | None
+    kl: KLResult | None
+    timings: dict[str, float]
+
+
+def spectral_partition(
+    hg: Hypergraph,
+    config: SpectralConfig = SpectralConfig(),
+    *,
+    dtype=jnp.float64,
+) -> PartitionRun:
+    """Spectral phase only (the cEIG executable)."""
+    tracer = Tracer()
+    with tracer.span("spectral.total"):
+        res = eig_partition(hg, config, dtype=dtype)
+    return PartitionRun(circuit=hg.name, eig=res, kl=None, timings=dict(tracer.spans))
+
+
+def kl_partition(
+    hg: Hypergraph,
+    *,
+    init: EigResult | str | np.ndarray | None = None,
+    kl_config: KLConfig = KLConfig(),
+    seed: int = 0,
+    dtype=jnp.float32,
+) -> PartitionRun:
+    """KL refinement from a random or spectral initial partition.
+
+    Args:
+      init: None -> random split (cKL.cpp:175-193); an EigResult or EIG
+        file path -> the -EIG flow (cKL.cpp:155-174); an int8 array ->
+        explicit initial sides.
+      seed: RNG seed for the random init.
+      dtype: device compute dtype for the KL engine.
+    """
+    tracer = Tracer()
+    with tracer.span("graph.build"):
+        g = clique_expand(hg, "kl").to_device(dtype=dtype)
+    eig = init if isinstance(init, EigResult) else None
+    with tracer.span("init"):
+        if init is None:
+            sides = random_split(hg.num_nodes, seed)
+        elif isinstance(init, (EigResult, str)):
+            sides = split_from_eig(init)
+        else:
+            sides = np.asarray(init, dtype=np.int8)
+    with tracer.span("kl.refine"):
+        result = refine(g, sides, kl_config)
+    return PartitionRun(
+        circuit=hg.name, eig=eig, kl=result, timings=dict(tracer.spans)
+    )
+
+
+def fused_partition(
+    hg: Hypergraph,
+    *,
+    use_eig: bool = True,
+    spectral_config: SpectralConfig = SpectralConfig(solver="power"),
+    kl_config: KLConfig = KLConfig(gain_eps=1e-6),
+    seed: int = 0,
+    dtype=jnp.float32,
+) -> PartitionRun:
+    """Fused spectral + KL pipeline (the gKL2 executable).
+
+    Builds the KL-weighted graph once and shares it between the power
+    iteration (gKL2 builds its Laplacian from the same adjacency,
+    gKL2.cu:262-303) and the refinement engine.  ``use_eig=False``
+    mirrors running gKL2 without ``-EIG`` (random init).
+    """
+    tracer = Tracer()
+    with tracer.span("graph.build"):
+        g = clique_expand(hg, "kl").to_device(dtype=dtype)
+    eig = None
+    with tracer.span("init"):
+        if use_eig:
+            with tracer.span("spectral.total"):
+                eig = eig_partition(hg, spectral_config, dtype=dtype, graph=g)
+            sides = eig.sides
+        else:
+            sides = random_split(hg.num_nodes, seed)
+    with tracer.span("kl.refine"):
+        result = refine(g, sides, kl_config)
+    return PartitionRun(
+        circuit=hg.name, eig=eig, kl=result, timings=dict(tracer.spans)
+    )

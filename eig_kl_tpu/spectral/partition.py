@@ -1,0 +1,88 @@
+"""Median-split partitioning of the Fiedler vector, and the end-to-end
+spectral partition ("EIG") pipeline.
+
+Two median conventions exist in the reference and both are kept:
+
+* ``"average"`` (cEIG.cpp:55-65): full sort; for even n the average of
+  the two middle elements.
+* ``"upper"`` (gKL2.cu:396-398): plain ``sorted[n/2]``.
+
+Side assignment is ``side = (median > value)`` (cEIG.cpp:218,
+gKL2.cu:403-414), i.e. values >= median go to side 0.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from eig_kl_tpu.graph.csr import DeviceGraph
+from eig_kl_tpu.io.eigfile import EigResult
+from eig_kl_tpu.io.hgr import Hypergraph
+from eig_kl_tpu.utils.config import SpectralConfig
+
+
+def median_split(values: jnp.ndarray, convention: str = "average"):
+    """Split node values at the median.
+
+    Returns (median, sides) with ``sides[i] = median > values[i]``.
+    """
+    v = jnp.sort(values)
+    n = values.shape[0]
+    if convention == "average":
+        med = jnp.where(
+            n % 2 != 0, v[n // 2], 0.5 * (v[(n - 1) // 2] + v[n // 2])
+        )
+    elif convention == "upper":
+        med = v[n // 2]
+    else:
+        raise ValueError(f"unknown median convention {convention!r}")
+    sides = (med > values).astype(jnp.int8)
+    return med, sides
+
+
+def eig_partition(
+    hg: Hypergraph,
+    config: SpectralConfig = SpectralConfig(),
+    *,
+    dtype=jnp.float64,
+    graph: DeviceGraph | None = None,
+) -> EigResult:
+    """The full spectral phase: clique-expand (2/k weights), solve for
+    the Fiedler pair, median-split.  Equivalent of ``./cEIG <file>``
+    (cEIG.cpp:138-229) producing a writable :class:`EigResult`.
+
+    Args:
+      hg: input hypergraph.
+      config: solver selection + tolerances.
+      dtype: float64 for Spectra-parity; float32 on TPU for speed.
+      graph: optionally a pre-built DeviceGraph ("eig" weighting for the
+        lanczos/lobpcg solvers, "kl" weighting for the power solver,
+        matching gKL2's reuse of the KL adjacency, gKL2.cu:262-303).
+    """
+    from eig_kl_tpu.graph.expand import clique_expand
+
+    if config.solver == "power":
+        from eig_kl_tpu.spectral.power import power_iteration_fiedler
+
+        if graph is None:
+            graph = clique_expand(hg, "kl").to_device(dtype=dtype)
+        lam, vec = power_iteration_fiedler(graph, config, dtype=dtype)
+        med, sides = median_split(vec, convention="upper")
+    elif config.solver == "lanczos":
+        from eig_kl_tpu.spectral.lanczos import lanczos_fiedler
+
+        if graph is None:
+            graph = clique_expand(hg, "eig").to_device(dtype=dtype)
+        res = lanczos_fiedler(graph, config, dtype=dtype)
+        lam, vec = res.eigenvalue, res.vector
+        med, sides = median_split(vec, convention="average")
+    else:
+        raise ValueError(f"unknown spectral solver {config.solver!r}")
+
+    return EigResult(
+        eigenvalue=float(lam),
+        median=float(med),
+        sides=np.asarray(sides),
+        values=np.asarray(vec, dtype=np.float64),
+    )

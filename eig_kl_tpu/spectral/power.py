@@ -1,0 +1,92 @@
+"""gKL2-flavor spectral partitioner: shift-inverted power iteration.
+
+The reference's fused GPU pipeline builds a row-degree-normalized
+"Laplacian" with off-diagonal ``-2 w_ij / deg_i`` and diagonal
+``+2`` (negative row-sum, gKL2.cu:262-303) from the *KL-weighted*
+adjacency, then iterates ``y = x - (L x) / shift`` with shift 2.0
+(gKL2.cu:335-353).  Algebraically that is exactly one step of power
+iteration on the random-walk matrix ``D^-1 A``; the iterate converges
+toward the constant Perron vector plus a slowly-decaying second
+component, and the subsequent median split (gKL2.cu:391-414) keys on
+that second component's sign pattern.  We reproduce the scheme
+faithfully -- normalization every step, convergence on
+``|norm_t - norm_{t-1}| < 1e-6`` only after 100 iterations, cap 1000
+(gKL2.cu:26-27, 370-377) -- but run the whole loop device-resident in
+one ``lax.while_loop`` instead of a per-iteration host norm readback.
+
+Note a reference quirk we intentionally do NOT reproduce: gKL2's
+in-process partition puts ``median > value`` nodes on split[0]
+(gKL2.cu:404) while its own file writer labels the same nodes side 1
+(gKL2.cu:249); we follow the file convention everywhere (labels are
+symmetric, cut size is unaffected).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from eig_kl_tpu.graph.csr import DeviceGraph
+from eig_kl_tpu.ops.partition import spmv
+from eig_kl_tpu.utils.config import SpectralConfig
+
+
+class _PowerState(NamedTuple):
+    x: jnp.ndarray
+    norm: jnp.ndarray
+    prev_norm: jnp.ndarray
+    iteration: jnp.ndarray
+
+
+def power_iteration_fiedler(
+    g: DeviceGraph,
+    config: SpectralConfig = SpectralConfig(solver="power"),
+    *,
+    dtype=jnp.float32,
+):
+    """Run the gKL2 power iteration; returns (rayleigh_quotient, vector).
+
+    Args:
+      g: DeviceGraph with the "kl" (1/(k-1)) weighting -- gKL2 reuses
+        the KL adjacency for its Laplacian (gKL2.cu:262-303).
+    """
+    n = g.num_nodes
+    inv_shift = 1.0 / config.shift
+    safe_deg = jnp.where(g.degrees > 0, g.degrees, 1.0).astype(dtype)
+
+    def norm_lap(x):
+        # L x with L = 2 I - 2 D^-1 A  (row-normalized, gKL2.cu:262-303).
+        return 2.0 * x - 2.0 * spmv(g, x.astype(g.ell_weights.dtype)).astype(dtype) / safe_deg
+
+    def step(x):
+        y = x - inv_shift * norm_lap(x)  # gKL2.cu:65-89 sparseMVKernel
+        nrm = jnp.linalg.norm(y)
+        safe = nrm > 0
+        return jnp.where(safe, y / jnp.where(safe, nrm, 1.0), y), nrm
+
+    key = jax.random.PRNGKey(config.seed)  # srand(42) analog, gKL2.cu:322
+    x0 = jax.random.uniform(key, (n,), dtype=dtype) - 0.5
+    x0, n0 = step(x0)
+
+    def cond(st: _PowerState):
+        done = (jnp.abs(st.norm - st.prev_norm) < config.tolerance) & (
+            st.iteration > config.min_power_iters
+        )
+        return (~done) & (st.iteration < config.max_iterations)
+
+    def body(st: _PowerState):
+        x, nrm = step(st.x)
+        return _PowerState(x, nrm, st.norm, st.iteration + 1)
+
+    init = _PowerState(
+        x=x0,
+        norm=n0,
+        prev_norm=jnp.asarray(0.0, dtype),
+        iteration=jnp.asarray(1, jnp.int32),
+    )
+    final = jax.lax.while_loop(cond, body, init)
+    v = final.x
+    lam = v @ norm_lap(v)  # Rayleigh quotient on the normalized Laplacian
+    return lam, v

@@ -1,0 +1,132 @@
+"""Spectral phase tests: golden eigenvalue parity with Spectra
+(pre_saved_EIG fixtures), scipy cross-checks, median-split conventions."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+import scipy.sparse as sp
+import scipy.sparse.linalg as spla
+
+from eig_kl_tpu.graph.expand import clique_expand
+from eig_kl_tpu.io.eigfile import read_eig_file, write_eig_file
+from eig_kl_tpu.spectral.lanczos import lanczos_fiedler, laplacian_matvec
+from eig_kl_tpu.spectral.power import power_iteration_fiedler
+from eig_kl_tpu.spectral.partition import median_split, eig_partition
+from eig_kl_tpu.utils.config import SpectralConfig
+
+from conftest import golden_eig_path, random_hypergraph
+
+
+GOLDEN_LAMBDA2 = {
+    "fract": 0.254706743273,
+    "industry2": 0.0037610510813,
+    "ibm01": 0.0183705303938,
+    "ibm10": 0.0185033161733,
+}
+
+
+@pytest.fixture(scope="module")
+def fract_eig(fract):
+    g = clique_expand(fract, "eig").to_device(dtype=jnp.float64)
+    return g, lanczos_fiedler(g)
+
+
+def test_lanczos_fract_matches_spectra(fract_eig):
+    _, res = fract_eig
+    assert res.converged
+    assert float(res.eigenvalue) == pytest.approx(
+        GOLDEN_LAMBDA2["fract"], abs=1e-6
+    )
+
+
+def test_lanczos_fract_vector_matches_golden(fract_eig):
+    _, res = fract_eig
+    gold = read_eig_file(golden_eig_path("fract"))
+    v = np.asarray(res.vector)
+    corr = abs(v @ gold.values) / (np.linalg.norm(v) * np.linalg.norm(gold.values))
+    assert corr > 1.0 - 1e-9
+
+
+def test_lanczos_residual_is_true_residual(fract_eig):
+    g, res = fract_eig
+    r = laplacian_matvec(g, res.vector) - res.eigenvalue * res.vector
+    # The deflated residual reported must match the plain operator
+    # residual (the constant component of L v is already ~0).
+    assert float(jnp.linalg.norm(r)) == pytest.approx(
+        float(res.residual), rel=1e-3, abs=1e-8
+    )
+
+
+def test_median_split_matches_golden_sides(fract_eig):
+    """side = (median > value) with even-average median (cEIG.cpp:55-65,
+    218).  A global sign flip of the eigenvector flips all sides."""
+    _, res = fract_eig
+    gold = read_eig_file(golden_eig_path("fract"))
+    med, sides = median_split(res.vector, convention="average")
+    sides = np.asarray(sides)
+    assert (sides == gold.sides).all() or (sides == 1 - gold.sides).all()
+
+
+@pytest.mark.slow
+def test_lanczos_ibm01_matches_spectra(ibm01):
+    g = clique_expand(ibm01, "eig").to_device(dtype=jnp.float64)
+    res = lanczos_fiedler(g)
+    assert res.converged
+    assert float(res.eigenvalue) == pytest.approx(
+        GOLDEN_LAMBDA2["ibm01"], abs=1e-6
+    )
+    # Golden balance 6376 / 6376 (BASELINE.md).
+    _, sides = median_split(res.vector, convention="average")
+    counts = np.bincount(np.asarray(sides), minlength=2)
+    assert sorted(counts.tolist()) == [6376, 6376]
+
+
+def test_lanczos_matches_scipy(rng):
+    """Cross-check lambda_2 against ARPACK on a random hypergraph."""
+    hg = random_hypergraph(rng, num_nodes=80, num_nets=160, max_net=5)
+    g = clique_expand(hg, "eig")
+    dg = g.to_device(dtype=jnp.float64)
+    A = sp.csr_matrix((g.data, g.indices, g.indptr), shape=(g.num_nodes,) * 2)
+    L = sp.diags(np.asarray(A.sum(axis=1)).ravel()) - A
+    vals = spla.eigsh(L, k=2, which="SA", return_eigenvectors=False)
+    lam2_scipy = float(np.sort(vals)[1])
+    res = lanczos_fiedler(dg, SpectralConfig(tolerance=1e-9))
+    assert float(res.eigenvalue) == pytest.approx(lam2_scipy, abs=1e-8)
+
+
+def test_median_split_conventions():
+    vals = jnp.asarray([3.0, 1.0, 2.0, 4.0])
+    med_avg, sides_avg = median_split(vals, "average")
+    assert float(med_avg) == pytest.approx(2.5)
+    np.testing.assert_array_equal(np.asarray(sides_avg), [0, 1, 1, 0])
+    med_up, sides_up = median_split(vals, "upper")
+    assert float(med_up) == pytest.approx(3.0)  # sorted[n/2]
+    np.testing.assert_array_equal(np.asarray(sides_up), [0, 1, 1, 0])
+
+
+def test_power_iteration_fract(fract):
+    """gKL2-flavor power iteration yields a usable bipartition."""
+    g = clique_expand(fract, "kl").to_device(dtype=jnp.float32)
+    lam, vec = power_iteration_fiedler(g, SpectralConfig(solver="power"))
+    assert vec.shape == (fract.num_nodes,)
+    assert np.isfinite(np.asarray(vec)).all()
+    _, sides = median_split(vec, convention="upper")
+    counts = np.bincount(np.asarray(sides), minlength=2)
+    assert counts.min() > 0  # both sides populated
+    # Deterministic under the same seed.
+    lam2, vec2 = power_iteration_fiedler(g, SpectralConfig(solver="power"))
+    np.testing.assert_allclose(np.asarray(vec), np.asarray(vec2))
+
+
+def test_eig_partition_end_to_end(fract, tmp_path):
+    """eig_partition == ./cEIG: result round-trips through the file
+    protocol and reproduces the golden eigenvalue."""
+    res = eig_partition(fract)
+    assert res.eigenvalue == pytest.approx(GOLDEN_LAMBDA2["fract"], abs=1e-6)
+    p = tmp_path / "fract.hgr_out.txt"
+    write_eig_file(p, res)
+    back = read_eig_file(p)
+    assert back.eigenvalue == pytest.approx(res.eigenvalue, rel=1e-10)
+    np.testing.assert_array_equal(back.sides, res.sides)
+    gold = read_eig_file(golden_eig_path("fract"))
+    assert (back.sides == gold.sides).all() or (back.sides == 1 - gold.sides).all()

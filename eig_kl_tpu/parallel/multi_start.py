@@ -1,0 +1,107 @@
+"""Multi-start (data-parallel) KL refinement.
+
+KL quality depends on the initial partition (the reference runs one
+start per invocation and relies on the RNG, cKL.cpp:175-193).  On a
+TPU mesh, independent starts are embarrassingly parallel: we ``vmap``
+the device-resident refinement loop over a batch of initial partitions
+and shard the batch across the ``"dp"`` mesh axis -- each chip runs its
+own while_loop in lockstep, no communication until the final best-cut
+reduction.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from eig_kl_tpu.graph.csr import DeviceGraph
+from eig_kl_tpu.kl.engine import KLResult, _kl_loop
+from eig_kl_tpu.kl.init import random_split
+from eig_kl_tpu.utils.config import KLConfig
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_iters", "gain_eps", "terminate_limit"),
+)
+def _batched_kl(g: DeviceGraph, sides_batch, max_iters, gain_eps, terminate_limit):
+    return jax.vmap(
+        lambda sides: _kl_loop(
+            g,
+            sides,
+            max_iters=max_iters,
+            gain_eps=gain_eps,
+            terminate_limit=terminate_limit,
+            refresh_interval=0,
+        )
+    )(sides_batch)
+
+
+def multi_start_refine(
+    g: DeviceGraph,
+    num_starts: int,
+    *,
+    config: KLConfig = KLConfig(),
+    mesh: Mesh | None = None,
+    base_seed: int = 0,
+    init_sides: np.ndarray | None = None,
+) -> tuple[KLResult, np.ndarray]:
+    """Run ``num_starts`` independent KL refinements; return the best.
+
+    Args:
+      g: device graph (replicated across the mesh).
+      num_starts: batch size; with a mesh, should be a multiple of the
+        "dp" axis size.
+      mesh: optional mesh; the start batch is sharded over its "dp"
+        axis so each chip refines its own starts.
+      init_sides: optional (num_starts, n) explicit initial partitions
+        (overrides the seeded random splits).
+
+    Returns:
+      (best KLResult, best_cut per start).
+    """
+    n = g.num_nodes
+    if init_sides is None:
+        init_sides = np.stack(
+            [random_split(n, base_seed + i) for i in range(num_starts)]
+        )
+    sides_batch = jnp.asarray(init_sides, dtype=jnp.int8)
+    if mesh is not None:
+        sides_batch = jax.device_put(
+            sides_batch, NamedSharding(mesh, P("dp", None))
+        )
+        g = jax.device_put(g, NamedSharding(mesh, P()))
+
+    n1 = int(np.asarray(init_sides[0], dtype=np.int64).sum())
+    natural_cap = min(n - n1, n1)
+    max_iters = (
+        natural_cap
+        if config.max_iterations is None
+        else min(config.max_iterations, natural_cap)
+    )
+    out = _batched_kl(
+        g,
+        sides_batch,
+        max_iters=max_iters,
+        gain_eps=config.gain_eps,
+        terminate_limit=config.terminate_limit(n),
+    )
+    best_cuts = np.asarray(out.best_cut)
+    k = int(np.argmin(best_cuts))
+    iterations = int(out.iterations[k])
+    best = KLResult(
+        sides=np.asarray(out.s[k] < 0, dtype=np.int8),
+        best_sides=np.asarray(out.best_s[k] < 0, dtype=np.int8),
+        initial_cut=float(out.initial_cut[k]),
+        final_cut=float(out.cut[k]),
+        best_cut=float(out.best_cut[k]),
+        verified_cut=float(out.verified_cut[k]),
+        iterations=iterations,
+        cut_trajectory=np.asarray(out.log_cut[k])[: iterations + 1],
+        gain_trajectory=np.asarray(out.log_gain[k])[: iterations + 1],
+    )
+    return best, best_cuts

@@ -8,16 +8,15 @@ golden eigenvalues (pre_saved_EIG/*_out.txt) to 1e-6.
 
 import os
 
-# Must be set before jax is imported anywhere.
+# Must be set before jax initializes a backend.  The env-var route
+# (JAX_PLATFORMS / XLA_FLAGS) is intercepted by the axon TPU plugin in
+# this image, so use the config API, which wins.
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
 
 import jax
 
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_enable_x64", True)
 
 import numpy as np

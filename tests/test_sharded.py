@@ -1,0 +1,91 @@
+"""Multi-chip sharding tests on the simulated 8-device CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from eig_kl_tpu.graph.expand import clique_expand
+from eig_kl_tpu.kl.engine import refine
+from eig_kl_tpu.kl.init import random_split
+from eig_kl_tpu.parallel.mesh import make_mesh
+from eig_kl_tpu.parallel.sharded_kl import sharded_refine
+from eig_kl_tpu.parallel.multi_start import multi_start_refine
+from eig_kl_tpu.utils.config import KLConfig
+
+from test_kl import dyadic_hypergraph
+
+
+@pytest.fixture(scope="module")
+def problem():
+    rng = np.random.default_rng(21)
+    hg = dyadic_hypergraph(rng, num_nodes=61, num_nets=140)  # odd n -> padding
+    g = clique_expand(hg, "kl")
+    sides = random_split(g.num_nodes, seed=9)
+    return g, sides
+
+
+def test_mesh_construction():
+    assert len(jax.devices()) == 8
+    mesh = make_mesh(8, dp=2)
+    assert mesh.shape == {"dp": 2, "mp": 4}
+    mesh2 = make_mesh(8)
+    assert mesh2.shape == {"dp": 1, "mp": 8}
+
+
+def test_sharded_matches_single_chip(problem):
+    """The sharded engine must produce the exact same trajectory as the
+    single-chip engine (dyadic weights -> bit-stable arithmetic)."""
+    g, sides = problem
+    mesh = make_mesh(8)
+    ref = refine(g.to_device(dtype=jnp.float64), sides, KLConfig())
+    shd = sharded_refine(g, sides, mesh, KLConfig(), dtype=jnp.float64)
+    assert shd.iterations == ref.iterations
+    np.testing.assert_allclose(shd.cut_trajectory, ref.cut_trajectory, rtol=1e-12)
+    np.testing.assert_allclose(shd.gain_trajectory, ref.gain_trajectory, rtol=1e-12)
+    np.testing.assert_array_equal(shd.sides, ref.sides)
+    np.testing.assert_array_equal(shd.best_sides, ref.best_sides)
+    assert shd.drift < 1e-9
+
+
+def test_sharded_on_2d_mesh(problem):
+    """Works when the mesh also has a dp axis (computation replicated
+    across dp)."""
+    g, sides = problem
+    mesh = make_mesh(8, dp=2)
+    shd = sharded_refine(g, sides, mesh, KLConfig(max_iterations=5))
+    assert shd.iterations <= 5
+    assert shd.initial_cut > 0
+
+
+def test_sharded_various_shard_counts(problem):
+    g, sides = problem
+    ref = refine(g.to_device(dtype=jnp.float64), sides, KLConfig())
+    for nd in (2, 4):
+        mesh = make_mesh(nd)
+        shd = sharded_refine(g, sides, mesh, KLConfig(), dtype=jnp.float64)
+        np.testing.assert_allclose(
+            shd.cut_trajectory, ref.cut_trajectory, rtol=1e-12
+        )
+
+
+def test_multi_start_finds_better_or_equal(problem):
+    g, _ = problem
+    dg = g.to_device(dtype=jnp.float64)
+    single = refine(dg, random_split(g.num_nodes, 0), KLConfig())
+    best, cuts = multi_start_refine(dg, 8, base_seed=0)
+    assert cuts.shape == (8,)
+    assert best.best_cut == pytest.approx(cuts.min())
+    assert best.best_cut <= single.best_cut + 1e-9
+    # start 0 of the batch reproduces the single run exactly
+    assert cuts[0] == pytest.approx(single.best_cut, rel=1e-12)
+
+
+def test_multi_start_sharded_over_dp(problem):
+    g, _ = problem
+    dg = g.to_device(dtype=jnp.float64)
+    mesh = make_mesh(8, dp=8)
+    best_m, cuts_m = multi_start_refine(dg, 8, mesh=mesh, base_seed=0)
+    best_r, cuts_r = multi_start_refine(dg, 8, base_seed=0)
+    np.testing.assert_allclose(cuts_m, cuts_r, rtol=1e-12)
+    assert best_m.best_cut == pytest.approx(best_r.best_cut)

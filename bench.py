@@ -1,0 +1,136 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Headline metric: end-to-end spectral-init + KL refinement wall time on
+an ibm18-scale synthetic circuit (201,920 nodes / 210,613 nets, the
+reference generator's 1.0 multiplier).  The reference baseline is the
+gKL GPU claim of 180 s for KL at 200K nodes (BASELINE.md, README.md:158);
+``vs_baseline`` is the speedup factor (baseline_seconds / ours).
+
+Prints exactly one JSON line on stdout:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+Usage:
+  python bench.py                  # full 200K-node benchmark on default device
+  python bench.py --multiplier 0.1 --baseline 45   # 20K-node quick run
+  python bench.py --circuit /root/reference/circuit/ibm10.hgr
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--multiplier", type=float, default=1.0)
+    ap.add_argument("--circuit", type=str, default=None, help=".hgr path override")
+    ap.add_argument(
+        "--baseline",
+        type=float,
+        default=180.0,
+        help="reference seconds to compare against (gKL GPU @200K = 180, @100K = 45)",
+    )
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--solver", choices=["power", "lanczos"], default="power")
+    ap.add_argument("--starts", type=int, default=1, help="multi-start batch size")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from eig_kl_tpu.graph.expand import clique_expand
+    from eig_kl_tpu.io.hgr import read_hgr, write_hgr
+    from eig_kl_tpu.kl.engine import refine
+    from eig_kl_tpu.models.generator import CircuitGenerator
+    from eig_kl_tpu.spectral.partition import eig_partition
+    from eig_kl_tpu.utils.config import KLConfig, SpectralConfig
+
+    dev = jax.devices()[0]
+    log(f"device: {dev.device_kind} ({dev.platform})")
+
+    # --- input circuit -------------------------------------------------
+    t0 = time.perf_counter()
+    if args.circuit:
+        hg = read_hgr(args.circuit)
+        label = os.path.basename(args.circuit)
+    else:
+        cache_dir = os.path.join(os.path.dirname(__file__), "benchmarks", "data")
+        os.makedirs(cache_dir, exist_ok=True)
+        cache = os.path.join(cache_dir, f"gen_{args.multiplier}_{args.seed}.hgr")
+        if os.path.exists(cache):
+            hg = read_hgr(cache)
+        else:
+            hg = CircuitGenerator(args.multiplier, seed=args.seed).generate()
+            write_hgr(cache, hg)
+            hg = read_hgr(cache)
+        label = f"gen{args.multiplier}x"
+    log(
+        f"circuit {label}: {hg.num_nets} nets, {hg.num_nodes} nodes, "
+        f"{hg.num_pins} pins ({time.perf_counter() - t0:.2f}s)"
+    )
+
+    # --- host graph build ----------------------------------------------
+    t0 = time.perf_counter()
+    g_host = clique_expand(hg, "kl")
+    g = g_host.to_device(dtype=jnp.float32)
+    jax.block_until_ready(g.ell_weights)
+    t_build = time.perf_counter() - t0
+    log(
+        f"graph: nnz={g_host.nnz} max_deg={g_host.max_degree} "
+        f"ell=({g.num_nodes},{g.max_degree}) build={t_build:.2f}s"
+    )
+
+    kl_config = KLConfig(gain_eps=1e-6)  # gKL semantics (gKL.cu:26,495)
+    spec_config = SpectralConfig(solver=args.solver)
+
+    def run_once():
+        eig = eig_partition(hg, spec_config, dtype=jnp.float32, graph=g)
+        kl = refine(g, eig.sides, kl_config)
+        return eig, kl
+
+    # --- warm-up (compile) ----------------------------------------------
+    t0 = time.perf_counter()
+    eig, kl = run_once()
+    t_warm = time.perf_counter() - t0
+    log(
+        f"warm-up (incl. compile): {t_warm:.2f}s  "
+        f"iters={kl.iterations} cut {kl.initial_cut:.1f} -> best {kl.best_cut:.1f} "
+        f"(drift {kl.drift:.2e})"
+    )
+
+    # --- timed run -------------------------------------------------------
+    t0 = time.perf_counter()
+    eig, kl = run_once()
+    t_exec = time.perf_counter() - t0
+    log(
+        f"timed e2e: {t_exec:.3f}s  iters={kl.iterations} "
+        f"cut {kl.initial_cut:.1f} -> best {kl.best_cut:.1f} "
+        f"improvement {100 * kl.improvement:.1f}%"
+    )
+
+    metric = f"e2e_eigkl_{hg.num_nodes // 1000}k_seconds"
+    print(
+        json.dumps(
+            {
+                "metric": metric,
+                "value": round(t_exec, 4),
+                "unit": "s",
+                "vs_baseline": round(args.baseline / t_exec, 2),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

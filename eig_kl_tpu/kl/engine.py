@@ -46,7 +46,6 @@ class _LoopState(NamedTuple):
     cut: jnp.ndarray        # scalar, incrementally tracked cut
     best_cut: jnp.ndarray   # scalar, min cut seen (tracked, not rolled back,
                             # matching cKL.cpp:363)
-    best_s: jnp.ndarray     # float[n], signs at the best cut
     n_free0: jnp.ndarray    # int32, unlocked nodes on side 0
     n_free1: jnp.ndarray    # int32, unlocked nodes on side 1
     iteration: jnp.ndarray  # int32, swaps performed
@@ -54,11 +53,12 @@ class _LoopState(NamedTuple):
     stop: jnp.ndarray       # bool
     log_cut: jnp.ndarray    # float[max_iters+1]
     log_gain: jnp.ndarray   # float[max_iters+1]
+    log_a: jnp.ndarray      # int32[max_iters+1], left node of each swap
+    log_b: jnp.ndarray      # int32[max_iters+1], right node of each swap
 
 
 class _KLOutput(NamedTuple):
     s: jnp.ndarray
-    best_s: jnp.ndarray
     cut: jnp.ndarray
     best_cut: jnp.ndarray
     initial_cut: jnp.ndarray
@@ -66,6 +66,8 @@ class _KLOutput(NamedTuple):
     iterations: jnp.ndarray
     log_cut: jnp.ndarray
     log_gain: jnp.ndarray
+    log_a: jnp.ndarray
+    log_b: jnp.ndarray
 
 
 @dataclasses.dataclass(frozen=True)
@@ -126,8 +128,7 @@ def kl_step(g: DeviceGraph, state: _LoopState, gain_eps: float, terminate_limit:
     gain = d_a + d_b - 2.0 * w_ab
 
     cut = state.cut - gain
-    better = cut < state.best_cut
-    best_cut = jnp.where(better, cut, state.best_cut)
+    best_cut = jnp.minimum(cut, state.best_cut)
 
     # Flip both nodes and update the cached A @ s in O(max_degree):
     # flipping node x adds (-2 * s_x_old) * A[:, x] to A @ s.
@@ -135,7 +136,6 @@ def kl_step(g: DeviceGraph, state: _LoopState, gain_eps: float, terminate_limit:
     a_s = a_s.at[idx_a].add(-2.0 * s_a * w_a)
     a_s = a_s.at[idx_b].add(-2.0 * s_b * w_b)
     s = s.at[a].set(-s_a).at[b].set(-s_b)
-    best_s = jnp.where(better, s, state.best_s)
     free = free.at[a].set(False).at[b].set(False)
 
     non_improving = gain <= gain_eps
@@ -148,7 +148,6 @@ def kl_step(g: DeviceGraph, state: _LoopState, gain_eps: float, terminate_limit:
         free=free,
         cut=cut,
         best_cut=best_cut,
-        best_s=best_s,
         n_free0=state.n_free0 - 1,
         n_free1=state.n_free1 - 1,
         iteration=it,
@@ -156,6 +155,8 @@ def kl_step(g: DeviceGraph, state: _LoopState, gain_eps: float, terminate_limit:
         stop=stop,
         log_cut=state.log_cut.at[it].set(cut),
         log_gain=state.log_gain.at[it].set(gain),
+        log_a=state.log_a.at[it].set(a.astype(jnp.int32)),
+        log_b=state.log_b.at[it].set(b.astype(jnp.int32)),
     )
 
 
@@ -186,7 +187,6 @@ def _kl_loop(
         free=jnp.ones(n, dtype=bool),
         cut=cut0,
         best_cut=cut0,
-        best_s=s0,
         n_free0=jnp.asarray(n, jnp.int32) - n1,
         n_free1=n1,
         iteration=jnp.asarray(0, jnp.int32),
@@ -194,6 +194,8 @@ def _kl_loop(
         stop=jnp.asarray(False),
         log_cut=log_cut,
         log_gain=log_gain,
+        log_a=jnp.zeros(max_iters + 1, jnp.int32),
+        log_b=jnp.zeros(max_iters + 1, jnp.int32),
     )
 
     def cond(st: _LoopState):
@@ -220,7 +222,6 @@ def _kl_loop(
     verified = P.cut_size(g, final.s)
     return _KLOutput(
         s=final.s,
-        best_s=final.best_s,
         cut=final.cut,
         best_cut=final.best_cut,
         initial_cut=cut0,
@@ -228,6 +229,8 @@ def _kl_loop(
         iterations=final.iteration,
         log_cut=final.log_cut,
         log_gain=final.log_gain,
+        log_a=final.log_a,
+        log_b=final.log_b,
     )
 
 
@@ -255,9 +258,15 @@ def refine(
         refresh_interval=config.refresh_interval,
     )
     iterations = int(out.iterations)
+    init_sides = np.asarray(sides, dtype=np.int8)
     return KLResult(
         sides=np.asarray(P.signs_to_sides(out.s)),
-        best_sides=np.asarray(P.signs_to_sides(out.best_s)),
+        best_sides=replay_swaps(
+            init_sides,
+            np.asarray(out.log_a),
+            np.asarray(out.log_b),
+            best_iteration(np.asarray(out.log_cut), iterations),
+        ),
         initial_cut=float(out.initial_cut),
         final_cut=float(out.cut),
         best_cut=float(out.best_cut),
@@ -266,3 +275,23 @@ def refine(
         cut_trajectory=np.asarray(out.log_cut)[: iterations + 1],
         gain_trajectory=np.asarray(out.log_gain)[: iterations + 1],
     )
+
+
+def best_iteration(log_cut: np.ndarray, iterations: int) -> int:
+    """Index of the minimum cut along the trajectory (first minimum)."""
+    return int(np.argmin(log_cut[: iterations + 1]))
+
+
+def replay_swaps(
+    sides: np.ndarray, log_a: np.ndarray, log_b: np.ndarray, upto: int
+) -> np.ndarray:
+    """Reconstruct the partition after the first `upto` swaps.
+
+    The loop logs the swapped pair per iteration (2 int32 scalars)
+    instead of snapshotting the whole best partition on device (which
+    would cost two O(n) HBM passes per swap); the best state is replayed
+    here in O(upto) on host."""
+    out = np.asarray(sides, dtype=np.int8).copy()
+    out[log_a[1 : upto + 1]] = 1
+    out[log_b[1 : upto + 1]] = 0
+    return out

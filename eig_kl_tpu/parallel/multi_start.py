@@ -93,9 +93,16 @@ def multi_start_refine(
     best_cuts = np.asarray(out.best_cut)
     k = int(np.argmin(best_cuts))
     iterations = int(out.iterations[k])
+    from eig_kl_tpu.kl.engine import best_iteration, replay_swaps
+
     best = KLResult(
         sides=np.asarray(out.s[k] < 0, dtype=np.int8),
-        best_sides=np.asarray(out.best_s[k] < 0, dtype=np.int8),
+        best_sides=replay_swaps(
+            init_sides[k],
+            np.asarray(out.log_a[k]),
+            np.asarray(out.log_b[k]),
+            best_iteration(np.asarray(out.log_cut[k]), iterations),
+        ),
         initial_cut=float(out.initial_cut[k]),
         final_cut=float(out.cut[k]),
         best_cut=float(out.best_cut[k]),

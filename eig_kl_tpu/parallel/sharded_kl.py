@@ -43,7 +43,6 @@ class _ShardState(NamedTuple):
     free_l: jnp.ndarray     # (n_local,) sharded lock mask
     cut: jnp.ndarray
     best_cut: jnp.ndarray
-    best_s: jnp.ndarray
     n_free0: jnp.ndarray
     n_free1: jnp.ndarray
     iteration: jnp.ndarray
@@ -51,6 +50,8 @@ class _ShardState(NamedTuple):
     stop: jnp.ndarray
     log_cut: jnp.ndarray
     log_gain: jnp.ndarray
+    log_a: jnp.ndarray
+    log_b: jnp.ndarray
 
 
 def _pad_ell(g: Graph, n_pad: int, dtype):
@@ -102,7 +103,6 @@ def _build_sharded_kl(
             free_l=free0_l,
             cut=cut0,
             best_cut=cut0,
-            best_s=s0,
             n_free0=n0,
             n_free1=n1,
             iteration=jnp.asarray(0, jnp.int32),
@@ -110,6 +110,8 @@ def _build_sharded_kl(
             stop=jnp.asarray(False),
             log_cut=jnp.zeros(max_iters + 1, dtype).at[0].set(cut0),
             log_gain=jnp.zeros(max_iters + 1, dtype),
+            log_a=jnp.zeros(max_iters + 1, jnp.int32),
+            log_b=jnp.zeros(max_iters + 1, jnp.int32),
         )
 
         def select(mask, d_l):
@@ -159,7 +161,6 @@ def _build_sharded_kl(
             gain = d_a + d_b - 2.0 * w_ab
 
             cut = st.cut - gain
-            better = cut < st.best_cut
 
             s_a, s_b = st.s[a], st.s[b]
             a_s_l = scatter_row(st.a_s_l, row_ia, row_wa, -2.0 * s_a)
@@ -175,8 +176,7 @@ def _build_sharded_kl(
                 a_s_l=a_s_l,
                 free_l=free_l,
                 cut=cut,
-                best_cut=jnp.where(better, cut, st.best_cut),
-                best_s=jnp.where(better, s, st.best_s),
+                best_cut=jnp.minimum(cut, st.best_cut),
                 n_free0=st.n_free0 - 1,
                 n_free1=st.n_free1 - 1,
                 iteration=it,
@@ -184,6 +184,8 @@ def _build_sharded_kl(
                 stop=terminate > terminate_limit,
                 log_cut=st.log_cut.at[it].set(cut),
                 log_gain=st.log_gain.at[it].set(gain),
+                log_a=st.log_a.at[it].set(a),
+                log_b=st.log_b.at[it].set(b),
             )
 
         final = jax.lax.while_loop(cond, body, init)
@@ -196,7 +198,6 @@ def _build_sharded_kl(
         )
         return (
             final.s,
-            final.best_s,
             final.cut,
             final.best_cut,
             cut0,
@@ -204,13 +205,15 @@ def _build_sharded_kl(
             final.iteration,
             final.log_cut,
             final.log_gain,
+            final.log_a,
+            final.log_b,
         )
 
     sharded = jax.shard_map(
         run,
         mesh=mesh,
         in_specs=(P("mp", None), P("mp", None), P("mp"), P(), P(), P()),
-        out_specs=(P(), P(), P(), P(), P(), P(), P(), P(), P()),
+        out_specs=(P(), P(), P(), P(), P(), P(), P(), P(), P(), P()),
         check_vma=False,
     )
     return jax.jit(sharded)
@@ -260,11 +263,19 @@ def sharded_refine(
         jnp.asarray(n - n1, jnp.int32),
         jnp.asarray(n1, jnp.int32),
     )
-    (s, best_s, cut, best_cut, cut0, verified, iters, log_cut, log_gain) = out
+    (s, cut, best_cut, cut0, verified, iters, log_cut, log_gain, log_a, log_b) = out
     iterations = int(iters)
+    from eig_kl_tpu.kl.engine import best_iteration, replay_swaps
+
+    best_sides_pad = replay_swaps(
+        sides_pad,
+        np.asarray(log_a),
+        np.asarray(log_b),
+        best_iteration(np.asarray(log_cut), iterations),
+    )
     return KLResult(
         sides=np.asarray(s < 0, dtype=np.int8)[:n],
-        best_sides=np.asarray(best_s < 0, dtype=np.int8)[:n],
+        best_sides=best_sides_pad[:n],
         initial_cut=float(cut0),
         final_cut=float(cut),
         best_cut=float(best_cut),

@@ -23,6 +23,7 @@ symmetric, cut size is unaffected).
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -52,8 +53,25 @@ def power_iteration_fiedler(
       g: DeviceGraph with the "kl" (1/(k-1)) weighting -- gKL2 reuses
         the KL adjacency for its Laplacian (gKL2.cu:262-303).
     """
+    return _power_core(
+        g,
+        shift=config.shift,
+        tolerance=config.tolerance,
+        min_iters=config.min_power_iters,
+        max_iters=config.max_iterations,
+        seed=config.seed,
+        dtype=jnp.dtype(dtype).name,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("shift", "tolerance", "min_iters", "max_iters", "seed", "dtype"),
+)
+def _power_core(g, shift, tolerance, min_iters, max_iters, seed, dtype):
+    dtype = jnp.dtype(dtype)
     n = g.num_nodes
-    inv_shift = 1.0 / config.shift
+    inv_shift = 1.0 / shift
     safe_deg = jnp.where(g.degrees > 0, g.degrees, 1.0).astype(dtype)
 
     def norm_lap(x):
@@ -66,15 +84,15 @@ def power_iteration_fiedler(
         safe = nrm > 0
         return jnp.where(safe, y / jnp.where(safe, nrm, 1.0), y), nrm
 
-    key = jax.random.PRNGKey(config.seed)  # srand(42) analog, gKL2.cu:322
+    key = jax.random.PRNGKey(seed)  # srand(42) analog, gKL2.cu:322
     x0 = jax.random.uniform(key, (n,), dtype=dtype) - 0.5
     x0, n0 = step(x0)
 
     def cond(st: _PowerState):
-        done = (jnp.abs(st.norm - st.prev_norm) < config.tolerance) & (
-            st.iteration > config.min_power_iters
+        done = (jnp.abs(st.norm - st.prev_norm) < tolerance) & (
+            st.iteration > min_iters
         )
-        return (~done) & (st.iteration < config.max_iterations)
+        return (~done) & (st.iteration < max_iters)
 
     def body(st: _PowerState):
         x, nrm = step(st.x)

@@ -57,14 +57,28 @@ def test_lanczos_residual_is_true_residual(fract_eig):
     )
 
 
+def _sides_match_mod_flip(sides, values, med, gold_sides):
+    """Compare side assignments up to a global eigenvector sign flip.
+
+    Nodes whose value equals the median are excluded from the flipped
+    comparison: with the strict ``median > value`` rule (cEIG.cpp:218)
+    the median node itself gets side 0 under *either* orientation, so
+    it can never match the flipped labeling (odd-n artifact)."""
+    at_median = np.abs(np.asarray(values) - float(med)) < 1e-12
+    direct = (sides == gold_sides).all()
+    flipped = (sides[~at_median] == 1 - gold_sides[~at_median]).all()
+    return direct or flipped
+
+
 def test_median_split_matches_golden_sides(fract_eig):
     """side = (median > value) with even-average median (cEIG.cpp:55-65,
     218).  A global sign flip of the eigenvector flips all sides."""
     _, res = fract_eig
     gold = read_eig_file(golden_eig_path("fract"))
     med, sides = median_split(res.vector, convention="average")
-    sides = np.asarray(sides)
-    assert (sides == gold.sides).all() or (sides == 1 - gold.sides).all()
+    assert _sides_match_mod_flip(
+        np.asarray(sides), res.vector, med, gold.sides
+    )
 
 
 @pytest.mark.slow
@@ -129,4 +143,4 @@ def test_eig_partition_end_to_end(fract, tmp_path):
     assert back.eigenvalue == pytest.approx(res.eigenvalue, rel=1e-10)
     np.testing.assert_array_equal(back.sides, res.sides)
     gold = read_eig_file(golden_eig_path("fract"))
-    assert (back.sides == gold.sides).all() or (back.sides == 1 - gold.sides).all()
+    assert _sides_match_mod_flip(back.sides, back.values, back.median, gold.sides)

@@ -1,0 +1,438 @@
+"""Single-kernel (Pallas) KL refinement engine.
+
+The XLA engine (:mod:`eig_kl_tpu.kl.engine`) runs the swap loop as a
+``lax.while_loop`` whose body is ~20 XLA ops; on TPU every
+dynamically-indexed op in that body (two ELL-row gathers, two 40-element
+scatter-adds, log writes) costs ~100 us of scalar-loop time, putting a
+swap at ~380 us.  This module instead compiles the *entire* refinement
+-- selection, swap, incremental update, logging, termination -- into ONE
+Pallas kernel where:
+
+* the partition state (signs ``s``, cached ``A @ s``, free mask) lives
+  in VMEM for the whole run, shaped ``(R, 128)`` for the VPU;
+* node selection is two masked max-reductions plus an index-recovery
+  min-reduction (first-max tie-breaking, matching ``jnp.argmax`` and the
+  reference's strict ``>`` scans, cKL.cpp:341-347);
+* the two chosen ELL rows are DMA'd HBM -> SMEM (~70 ns each) and the
+  O(degree) scatter into ``A @ s`` is a loop of single-lane row
+  read-modify-writes in VMEM (~35 ns each), bounded by the *actual*
+  degree (column 0 of the index row carries it);
+* scalars (cut, termination counter, iteration) are while-loop carries.
+
+Per-swap cost is a few microseconds -- ~100x the XLA engine, ~500x the
+reference gKL host loop (gKL.cu:453-519), whose per-swap H2D/D2H
+round-trips this design removes entirely.
+
+Reference semantics preserved: swap-gain ``D_a + D_b - 2 w_ab``
+(cKL.cpp:360), terminate after ``floor(log2 n) + 5`` consecutive
+non-improving swaps (cKL.cpp:303,382-386), min-cut tracked but not
+rolled back on device (cKL.cpp:363; the best partition is replayed on
+host from the swap log like :func:`eig_kl_tpu.kl.engine.replay_swaps`).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from eig_kl_tpu.graph.csr import Graph
+from eig_kl_tpu.kl.engine import KLResult, best_iteration, replay_swaps
+from eig_kl_tpu.ops.spmv_pallas import SpmvPlan, spmv_pallas
+from eig_kl_tpu.utils.config import KLConfig
+
+_NEG = -3.0e38  # "minus infinity" mask for max-reductions (plain float)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+class MegaGraph:
+    """Device arrays prepared for the mega-kernel.
+
+    Attributes:
+      meta_indices: int32[n, W] -- column 0 is the node's true degree,
+        columns 1..deg are neighbor ids, the rest padding.
+      meta_weights: float32[n, W] -- column 0 unused (0), columns
+        1..deg the matching edge weights.  W is a multiple of 128.
+      num_nodes: true node count n (rows are not padded; only selected
+        rows are ever DMA'd).
+      padded_nodes: n rounded up to a multiple of 1024 (the (R, 128)
+        state shape).
+    """
+
+    def __init__(self, graph: Graph):
+        n = graph.num_nodes
+        ell_idx, ell_w = graph.to_ell(pad_multiple=1)
+        deg = graph.degrees.astype(np.int32)
+        w = ell_idx.shape[1]
+        wp = _round_up(w + 1, 128)
+        meta_idx = np.zeros((n, wp), dtype=np.int32)
+        meta_w = np.zeros((n, wp), dtype=np.float32)
+        meta_idx[:, 0] = deg
+        meta_idx[:, 1 : w + 1] = ell_idx
+        meta_w[:, 1 : w + 1] = ell_w
+        self.meta_indices = jnp.asarray(meta_idx)
+        self.meta_weights = jnp.asarray(meta_w)
+        self.num_nodes = n
+        self.padded_nodes = _round_up(n, 1024)
+        self.weighted_degrees = jnp.asarray(
+            graph.weighted_degrees, dtype=jnp.float32
+        )
+        # Chunk-planned SpMV for the initial A@s / cut and the final
+        # from-scratch verification (avoids XLA's scalar-loop gather).
+        self.spmv_plan = SpmvPlan.from_graph(graph)
+
+    @property
+    def row_width(self) -> int:
+        return self.meta_indices.shape[1]
+
+
+def _kernel(
+    idx_hbm,
+    w_hbm,
+    s0_ref,
+    as0_ref,
+    cut0_ref,
+    # outputs
+    s_ref,
+    as_ref,
+    free_ref,
+    log_cut_ref,
+    log_gain_ref,
+    log_a_ref,
+    log_b_ref,
+    out_ref,
+    # scratch
+    ia_ref,
+    ib_ref,
+    wa_ref,
+    wb_ref,
+    sems,
+    *,
+    num_nodes: int,
+    max_iters: int,
+    terminate_limit: int,
+    gain_eps: float,
+):
+    R = s_ref.shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    flat = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 0) * 128 + (
+        jax.lax.broadcasted_iota(jnp.int32, (R, 128), 1)
+    )
+    big_i = jnp.int32(R * 128)
+
+    # State init: copy inputs into the persistent VMEM state, mark the
+    # n..P padding permanently locked.
+    s_ref[:] = s0_ref[:]
+    as_ref[:] = as0_ref[:]
+    free_ref[:] = (flat < num_nodes).astype(jnp.float32)
+    log_cut_ref[:] = jnp.zeros_like(log_cut_ref)
+    log_gain_ref[:] = jnp.zeros_like(log_gain_ref)
+    log_a_ref[:] = jnp.zeros_like(log_a_ref)
+    log_b_ref[:] = jnp.zeros_like(log_b_ref)
+
+    cut0 = cut0_ref[0, 0]
+    row0 = log_cut_ref[pl.ds(0, 1), :]
+    log_cut_ref[pl.ds(0, 1), :] = jnp.where(lane == 0, cut0, row0)
+
+    def scalar_at(ref, q, l):
+        row = ref[pl.ds(q, 1), :]
+        return jnp.sum(jnp.where(lane == l, row, 0.0))
+
+    def rmw_add(ref, q, l, delta):
+        row = ref[pl.ds(q, 1), :]
+        ref[pl.ds(q, 1), :] = row + jnp.where(lane == l, delta, 0.0)
+
+    def rmw_set(ref, q, l, value):
+        row = ref[pl.ds(q, 1), :]
+        ref[pl.ds(q, 1), :] = jnp.where(lane == l, value, row)
+
+    def cond(carry):
+        it, cut, best_cut, term, nf0, nf1, stop = carry
+        return (stop == 0) & (it < max_iters) & (nf0 > 0) & (nf1 > 0)
+
+    def body(carry):
+        it, cut, best_cut, term, nf0, nf1, stop = carry
+        s = s_ref[:]
+        a_s = as_ref[:]
+        free = free_ref[:]
+        d = -(s * a_s)
+        left = (s > 0) & (free > 0)
+        right = (s < 0) & (free > 0)
+        dl = jnp.where(left, d, _NEG)
+        dr = jnp.where(right, d, _NEG)
+        m_l = jnp.max(dl)
+        m_r = jnp.max(dr)
+        # First-max index recovery (matches jnp.argmax / cKL.cpp:341-347).
+        a = jnp.min(jnp.where(dl == m_l, flat, big_i))
+        b = jnp.min(jnp.where(dr == m_r, flat, big_i))
+
+        # Fetch both adjacency rows: indices+degree to SMEM for the
+        # scalar loop, weights to SMEM alongside.
+        cp0 = pltpu.make_async_copy(idx_hbm.at[pl.ds(a, 1), :], ia_ref, sems.at[0])
+        cp1 = pltpu.make_async_copy(idx_hbm.at[pl.ds(b, 1), :], ib_ref, sems.at[1])
+        cp2 = pltpu.make_async_copy(w_hbm.at[pl.ds(a, 1), :], wa_ref, sems.at[2])
+        cp3 = pltpu.make_async_copy(w_hbm.at[pl.ds(b, 1), :], wb_ref, sems.at[3])
+        cp0.start()
+        cp1.start()
+        cp2.start()
+        cp3.start()
+
+        q_a, l_a = a // 128, a % 128
+        q_b, l_b = b // 128, b % 128
+        s_a = scalar_at(s_ref, q_a, l_a)
+        s_b = scalar_at(s_ref, q_b, l_b)
+
+        cp0.wait()
+        cp1.wait()
+        cp2.wait()
+        cp3.wait()
+
+        deg_a = ia_ref[0, 0]
+        deg_b = ib_ref[0, 0]
+
+        # Scatter side a's row into A@s (flip contribution -2*s_a*w per
+        # neighbor) while accumulating w_ab for the swap gain.
+        coef_a = -2.0 * s_a
+
+        def loop_a(k, wab):
+            j = ia_ref[0, k]
+            w = wa_ref[0, k]
+            rmw_add(as_ref, j // 128, j % 128, coef_a * w)
+            return wab + jnp.where(j == b, w, 0.0)
+
+        w_ab = lax.fori_loop(1, deg_a + 1, loop_a, jnp.float32(0.0))
+
+        coef_b = -2.0 * s_b
+
+        def loop_b(k, _):
+            j = ib_ref[0, k]
+            w = wb_ref[0, k]
+            rmw_add(as_ref, j // 128, j % 128, coef_b * w)
+            return 0
+
+        lax.fori_loop(1, deg_b + 1, loop_b, 0)
+
+        # Flip and lock both nodes.
+        rmw_set(s_ref, q_a, l_a, -s_a)
+        rmw_set(s_ref, q_b, l_b, -s_b)
+        rmw_set(free_ref, q_a, l_a, 0.0)
+        rmw_set(free_ref, q_b, l_b, 0.0)
+
+        gain = m_l + m_r - 2.0 * w_ab
+        cut2 = cut - gain
+        best2 = jnp.minimum(cut2, best_cut)
+        it2 = it + 1
+        rmw_set(log_cut_ref, it2 // 128, it2 % 128, cut2)
+        rmw_set(log_gain_ref, it2 // 128, it2 % 128, gain)
+        # int32 logs: rmw_set with where on int rows.
+        row = log_a_ref[pl.ds(it2 // 128, 1), :]
+        log_a_ref[pl.ds(it2 // 128, 1), :] = jnp.where(lane == it2 % 128, a, row)
+        row = log_b_ref[pl.ds(it2 // 128, 1), :]
+        log_b_ref[pl.ds(it2 // 128, 1), :] = jnp.where(lane == it2 % 128, b, row)
+
+        term2 = jnp.where(gain <= gain_eps, term + 1, 0)
+        stop2 = (term2 > terminate_limit).astype(jnp.int32)
+        return (it2, cut2, best2, term2, nf0 - 1, nf1 - 1, stop2)
+
+    free = free_ref[:]
+    s = s_ref[:]
+    nf0 = jnp.sum(((s > 0) & (free > 0)).astype(jnp.int32))
+    nf1 = jnp.sum(((s < 0) & (free > 0)).astype(jnp.int32))
+    init = (
+        jnp.int32(0),
+        cut0,
+        cut0,
+        jnp.int32(0),
+        nf0,
+        nf1,
+        jnp.int32(0),
+    )
+    it, cut, best_cut, term, nf0, nf1, stop = lax.while_loop(cond, body, init)
+
+    out_ref[0, 0] = cut
+    out_ref[0, 1] = best_cut
+    out_ref[0, 2] = it.astype(jnp.float32)
+    out_ref[0, 3] = term.astype(jnp.float32)
+    out_ref[0, 4] = nf0.astype(jnp.float32)
+    out_ref[0, 5] = nf1.astype(jnp.float32)
+    out_ref[0, 6] = cut0
+    out_ref[0, 7] = 0.0
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "num_nodes",
+        "max_iters",
+        "terminate_limit",
+        "gain_eps",
+        "interpret",
+    ),
+)
+def _run(
+    meta_idx,
+    meta_w,
+    s0,
+    as0,
+    cut0,
+    *,
+    num_nodes: int,
+    max_iters: int,
+    terminate_limit: int,
+    gain_eps: float,
+    interpret: bool = False,
+):
+    P = s0.shape[0] * 128
+    R = P // 128
+    W = meta_idx.shape[1]
+    ml = _round_up(max_iters + 1, 128)
+    MLR = ml // 128
+    kernel = functools.partial(
+        _kernel,
+        num_nodes=num_nodes,
+        max_iters=max_iters,
+        terminate_limit=terminate_limit,
+        gain_eps=gain_eps,
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((R, 128), jnp.float32),  # s
+            jax.ShapeDtypeStruct((R, 128), jnp.float32),  # a_s
+            jax.ShapeDtypeStruct((R, 128), jnp.float32),  # free
+            jax.ShapeDtypeStruct((MLR, 128), jnp.float32),  # log_cut
+            jax.ShapeDtypeStruct((MLR, 128), jnp.float32),  # log_gain
+            jax.ShapeDtypeStruct((MLR, 128), jnp.int32),  # log_a
+            jax.ShapeDtypeStruct((MLR, 128), jnp.int32),  # log_b
+            jax.ShapeDtypeStruct((1, 8), jnp.float32),  # scalars
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # idx rows stay in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # weight rows stay in HBM
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8), memory_space=pltpu.SMEM),
+        ),
+        scratch_shapes=[
+            pltpu.SMEM((1, W), jnp.int32),
+            pltpu.SMEM((1, W), jnp.int32),
+            pltpu.SMEM((1, W), jnp.float32),
+            pltpu.SMEM((1, W), jnp.float32),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+        interpret=interpret,
+    )(meta_idx, meta_w, s0, as0, cut0)
+
+
+def refine_mega(
+    mg: MegaGraph,
+    sides: np.ndarray,
+    config: KLConfig = KLConfig(),
+    *,
+    interpret: bool | None = None,
+) -> KLResult:
+    """Run the single-kernel KL refinement; host-side result.
+
+    Args:
+      mg: prepared :class:`MegaGraph`.
+      sides: int8[n] initial 0/1 side labels.
+      config: reference-parity options (gain_eps, terminate rule, cap).
+      interpret: force Pallas interpreter mode (defaults to True off-TPU
+        so tests run on CPU).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n = mg.num_nodes
+    P = mg.padded_nodes
+    R = P // 128
+    sides = np.asarray(sides, dtype=np.int8)
+    n1 = int(sides.astype(np.int64).sum())
+    natural_cap = min(n - n1, n1)
+    max_iters = (
+        natural_cap
+        if config.max_iterations is None
+        else min(config.max_iterations, natural_cap)
+    )
+    # Round the static cap up so recompiles only happen per 4k bucket.
+    max_iters = min(_round_up(max(max_iters, 1), 4096), max(natural_cap, 1))
+
+    s_host = np.ones(P, dtype=np.float32)
+    s_host[:n] = 1.0 - 2.0 * sides.astype(np.float32)
+    s0 = jnp.asarray(s_host.reshape(R, 128))
+
+    # Initial A @ s and cut via the chunk-planned Pallas SpMV.
+    s_flat = jnp.asarray(s_host[:n])
+    a_s_n = spmv_pallas(mg.spmv_plan, s_flat, interpret=interpret)
+    a_s = jnp.zeros(P, jnp.float32).at[:n].set(a_s_n).reshape(R, 128)
+    cut0 = 0.25 * (
+        mg.weighted_degrees.sum() - jnp.vdot(s_flat, a_s_n)
+    ).astype(jnp.float32)
+
+    s_out, as_out, free_out, log_cut, log_gain, log_a, log_b, scalars = _run(
+        mg.meta_indices,
+        mg.meta_weights,
+        s0,
+        a_s,
+        cut0.reshape(1, 1),
+        num_nodes=n,
+        max_iters=max_iters,
+        terminate_limit=config.terminate_limit(n),
+        gain_eps=config.gain_eps,
+        interpret=interpret,
+    )
+    # From-scratch verification of the incrementally-tracked cut -- the
+    # gKL.cu:524-530 oracle -- computed on device from the final signs.
+    s_fin_dev = s_out.reshape(-1)[:n]
+    a_s_v = spmv_pallas(mg.spmv_plan, s_fin_dev, interpret=interpret)
+    verified_dev = 0.25 * (
+        mg.weighted_degrees.sum() - jnp.vdot(s_fin_dev, a_s_v)
+    )
+    # One batched device->host transfer for everything.
+    scalars, s_final, log_cut, log_gain, log_a, log_b, verified = (
+        jax.device_get(
+            (scalars, s_fin_dev, log_cut, log_gain, log_a, log_b, verified_dev)
+        )
+    )
+    scalars = scalars[0]
+    iterations = int(scalars[2])
+    final_cut = float(scalars[0])
+    best_cut = float(scalars[1])
+    initial_cut = float(scalars[6])
+    final_sides = (s_final < 0).astype(np.int8)
+    log_cut = log_cut.reshape(-1)
+    log_gain = log_gain.reshape(-1)
+    log_a = log_a.reshape(-1)
+    log_b = log_b.reshape(-1)
+    verified = float(verified)
+
+    return KLResult(
+        sides=final_sides,
+        best_sides=replay_swaps(
+            sides, log_a, log_b, best_iteration(log_cut, iterations)
+        ),
+        initial_cut=initial_cut,
+        final_cut=final_cut,
+        best_cut=best_cut,
+        verified_cut=verified,
+        iterations=iterations,
+        cut_trajectory=log_cut[: iterations + 1],
+        gain_trajectory=log_gain[: iterations + 1],
+    )

@@ -1,0 +1,139 @@
+"""Pallas kernel tests (interpreter mode on CPU).
+
+The mega-kernel KL engine and the chunk-planned SpMV must agree with
+the XLA reference implementations exactly (same swap sequences / same
+matvec up to f32 rounding) -- the cross-implementation redundancy test
+strategy of the reference (SURVEY.md #4.3: cKL vs gKL agreement).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from tests.conftest import random_hypergraph
+
+
+def _kl_graph(hg):
+    from eig_kl_tpu.graph.expand import clique_expand
+
+    return clique_expand(hg, "kl", use_native=False)
+
+
+class TestSpmvPallas:
+    def test_matches_xla_spmv_random(self, rng):
+        from eig_kl_tpu.ops.partition import spmv
+        from eig_kl_tpu.ops.spmv_pallas import SpmvPlan, spmv_pallas
+
+        hg = random_hypergraph(rng, num_nodes=300, num_nets=500)
+        g_host = _kl_graph(hg)
+        g = g_host.to_device(dtype=jnp.float32)
+        plan = SpmvPlan.from_graph(g_host)
+        x = jnp.asarray(rng.standard_normal(hg.num_nodes), jnp.float32)
+        y_ref = np.asarray(spmv(g, x))
+        y = np.asarray(spmv_pallas(plan, x, interpret=True))
+        np.testing.assert_allclose(y, y_ref, rtol=1e-5, atol=1e-5)
+
+    def test_matches_on_fract(self, fract):
+        from eig_kl_tpu.ops.partition import spmv
+        from eig_kl_tpu.ops.spmv_pallas import SpmvPlan, spmv_pallas
+
+        g_host = _kl_graph(fract)
+        g = g_host.to_device(dtype=jnp.float32)
+        plan = SpmvPlan.from_graph(g_host)
+        rng = np.random.default_rng(5)
+        x = jnp.asarray(rng.standard_normal(fract.num_nodes), jnp.float32)
+        np.testing.assert_allclose(
+            np.asarray(spmv_pallas(plan, x, interpret=True)),
+            np.asarray(spmv(g, x)),
+            rtol=1e-5,
+            atol=1e-5,
+        )
+
+    def test_skewed_degrees(self, rng):
+        """One giant net (the industry2 585-pin case, scaled down)."""
+        from eig_kl_tpu.io.hgr import Hypergraph
+        from eig_kl_tpu.ops.partition import spmv
+        from eig_kl_tpu.ops.spmv_pallas import SpmvPlan, spmv_pallas
+
+        n = 400
+        big = np.arange(150, dtype=np.int32)  # one 150-pin net
+        smalls = [
+            rng.choice(n, size=2, replace=False).astype(np.int32)
+            for _ in range(300)
+        ]
+        pins = np.concatenate([big] + smalls)
+        offs = np.zeros(302, dtype=np.int64)
+        np.cumsum([150] + [2] * 300, out=offs[1:])
+        hg = Hypergraph(num_nodes=n, num_nets=301, pins=pins, net_offsets=offs)
+        g_host = _kl_graph(hg)
+        plan = SpmvPlan.from_graph(g_host)
+        g = g_host.to_device(dtype=jnp.float32)
+        x = jnp.asarray(rng.standard_normal(n), jnp.float32)
+        np.testing.assert_allclose(
+            np.asarray(spmv_pallas(plan, x, interpret=True)),
+            np.asarray(spmv(g, x)),
+            rtol=1e-4,
+            atol=1e-4,
+        )
+
+
+class TestMegaKernel:
+    def _compare(self, hg, seed=7):
+        from eig_kl_tpu.graph.expand import clique_expand
+        from eig_kl_tpu.kl.engine import refine
+        from eig_kl_tpu.kl.megakernel import MegaGraph, refine_mega
+        from eig_kl_tpu.utils.config import KLConfig
+
+        g_host = clique_expand(hg, "kl", use_native=False)
+        g = g_host.to_device(dtype=jnp.float32)
+        rng = np.random.default_rng(seed)
+        n = hg.num_nodes
+        sides = np.zeros(n, np.int8)
+        sides[rng.permutation(n)[: n // 2]] = 1
+        cfg = KLConfig()
+        r_xla = refine(g, sides, cfg)
+        r_mega = refine_mega(MegaGraph(g_host), sides, cfg, interpret=True)
+        return r_xla, r_mega
+
+    def test_fract_trajectory_parity(self, fract):
+        r_xla, r_mega = self._compare(fract)
+        assert r_mega.iterations == r_xla.iterations
+        assert (r_mega.sides == r_xla.sides).all()
+        np.testing.assert_allclose(
+            r_mega.cut_trajectory, r_xla.cut_trajectory, rtol=1e-4, atol=1e-3
+        )
+        np.testing.assert_allclose(
+            r_mega.best_cut, r_xla.best_cut, rtol=1e-5, atol=1e-3
+        )
+
+    def test_random_graph_parity(self, rng):
+        """Engine-level agreement.  The initial ``A @ s`` is summed in a
+        different order (chunk plan vs ELL rows), so f32 ties may break
+        differently -- like cKL vs gKL in the reference, agreement is at
+        the quality level, not bitwise."""
+        hg = random_hypergraph(rng, num_nodes=200, num_nets=320)
+        r_xla, r_mega = self._compare(hg, seed=3)
+        np.testing.assert_allclose(
+            r_mega.initial_cut, r_xla.initial_cut, rtol=1e-5
+        )
+        assert r_mega.drift < 1e-2
+        assert abs(r_mega.best_cut - r_xla.best_cut) <= 0.05 * max(
+            r_xla.initial_cut, 1.0
+        )
+
+    def test_invariants(self, fract):
+        _, r = self._compare(fract)
+        # Cut oracle: incremental vs from-scratch (gKL.cu:524-530).
+        assert r.drift < 1e-2
+        assert r.best_cut <= r.initial_cut
+        # best_sides replay achieves best_cut.
+        from eig_kl_tpu.graph.expand import clique_expand
+        from eig_kl_tpu.ops import partition as P
+
+        g = clique_expand(fract, "kl", use_native=False).to_device(
+            dtype=jnp.float32
+        )
+        s = P.sides_to_signs(jnp.asarray(r.best_sides))
+        np.testing.assert_allclose(
+            float(P.cut_size(g, s)), r.best_cut, rtol=1e-5, atol=1e-3
+        )

@@ -51,6 +51,7 @@ def main() -> int:
     from eig_kl_tpu.graph.expand import clique_expand
     from eig_kl_tpu.io.hgr import read_hgr, write_hgr
     from eig_kl_tpu.kl.engine import refine
+    from eig_kl_tpu.kl.megakernel import MegaGraph, refine_mega
     from eig_kl_tpu.models.generator import CircuitGenerator
     from eig_kl_tpu.spectral.partition import eig_partition
     from eig_kl_tpu.utils.config import KLConfig, SpectralConfig
@@ -79,23 +80,37 @@ def main() -> int:
         f"{hg.num_pins} pins ({time.perf_counter() - t0:.2f}s)"
     )
 
-    # --- host graph build ----------------------------------------------
+    # --- host graph build + kernel plans --------------------------------
+    on_tpu = jax.default_backend() == "tpu"
     t0 = time.perf_counter()
     g_host = clique_expand(hg, "kl")
-    g = g_host.to_device(dtype=jnp.float32)
+    g = g_host.to_device(dtype=jnp.float32, with_plan=on_tpu)
     jax.block_until_ready(g.ell_weights)
+    mg = MegaGraph(g_host, plan=g.plan, device_graph=g) if on_tpu else None
     t_build = time.perf_counter() - t0
     log(
         f"graph: nnz={g_host.nnz} max_deg={g_host.max_degree} "
-        f"ell=({g.num_nodes},{g.max_degree}) build={t_build:.2f}s"
+        f"ell=({g.num_nodes},{g.max_degree}) build={t_build:.2f}s "
+        f"engine={'pallas' if on_tpu else 'xla'}"
     )
 
     kl_config = KLConfig(gain_eps=1e-6)  # gKL semantics (gKL.cu:26,495)
     spec_config = SpectralConfig(solver=args.solver)
+    # power reuses the KL adjacency (gKL2.cu:262-303); lanczos needs the
+    # 2/k "eig" weighting (cEIG.cpp:110).
+    if args.solver == "power":
+        g_spec = g
+    else:
+        g_spec = clique_expand(hg, "eig").to_device(
+            dtype=jnp.float32, with_plan=on_tpu
+        )
 
     def run_once():
-        eig = eig_partition(hg, spec_config, dtype=jnp.float32, graph=g)
-        kl = refine(g, eig.sides, kl_config)
+        eig = eig_partition(hg, spec_config, dtype=jnp.float32, graph=g_spec)
+        if mg is not None:
+            kl = refine_mega(mg, eig.sides, kl_config)
+        else:
+            kl = refine(g, eig.sides, kl_config)
         return eig, kl
 
     # --- warm-up (compile) ----------------------------------------------

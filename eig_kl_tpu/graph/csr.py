@@ -129,13 +129,25 @@ class Graph:
         ell_w[row, pos] = self.data
         return ell_idx, ell_w
 
-    def to_device(self, pad_multiple: int = 8, dtype=jnp.float32) -> "DeviceGraph":
+    def to_device(
+        self, pad_multiple: int = 8, dtype=jnp.float32, with_plan: bool = False
+    ) -> "DeviceGraph":
+        """Build the device graph.  ``with_plan=True`` attaches the
+        chunk-planned Pallas SpMV routing (used automatically by
+        :func:`eig_kl_tpu.ops.partition.spmv` for f32 matvecs on TPU,
+        where XLA's scalar-loop gather is ~1000x off HBM speed)."""
         ell_idx, ell_w = self.to_ell(pad_multiple)
+        plan = None
+        if with_plan:
+            from eig_kl_tpu.ops.spmv_pallas import plan_for_graph
+
+            plan = plan_for_graph(self)
         return DeviceGraph(
             ell_indices=jnp.asarray(ell_idx),
             ell_weights=jnp.asarray(ell_w, dtype=dtype),
             degrees=jnp.asarray(self.weighted_degrees, dtype=dtype),
             total_weight=jnp.asarray(self.total_weight, dtype=dtype),
+            plan=plan,
         )
 
 
@@ -147,12 +159,15 @@ class DeviceGraph(NamedTuple):
       ell_weights: float[n, dmax] edge weights, padded with 0.
       degrees: float[n] weighted degrees (sum_j w_ij).
       total_weight: float scalar, T = sum_{i<j} w_ij.
+      plan: optional chunk plan for the Pallas SpMV kernel
+        (:class:`eig_kl_tpu.ops.spmv_pallas.SpmvPlan`).
     """
 
     ell_indices: jnp.ndarray
     ell_weights: jnp.ndarray
     degrees: jnp.ndarray
     total_weight: jnp.ndarray
+    plan: object | None = None
 
     @property
     def num_nodes(self) -> int:

@@ -67,27 +67,57 @@ class MegaGraph:
         state shape).
     """
 
-    def __init__(self, graph: Graph):
+    def __init__(
+        self,
+        graph: Graph,
+        plan: SpmvPlan | None = None,
+        device_graph=None,
+    ):
         n = graph.num_nodes
-        ell_idx, ell_w = graph.to_ell(pad_multiple=1)
-        deg = graph.degrees.astype(np.int32)
-        w = ell_idx.shape[1]
-        wp = _round_up(w + 1, 128)
-        meta_idx = np.zeros((n, wp), dtype=np.int32)
-        meta_w = np.zeros((n, wp), dtype=np.float32)
-        meta_idx[:, 0] = deg
-        meta_idx[:, 1 : w + 1] = ell_idx
-        meta_w[:, 1 : w + 1] = ell_w
-        self.meta_indices = jnp.asarray(meta_idx)
-        self.meta_weights = jnp.asarray(meta_w)
+        deg = jnp.asarray(graph.degrees.astype(np.int32))
+        if device_graph is not None:
+            # Derive the meta rows on device from the already-uploaded
+            # ELL arrays -- host->device bandwidth is the scarce
+            # resource, not device compute.
+            ell_idx = device_graph.ell_indices
+            ell_w = device_graph.ell_weights.astype(jnp.float32)
+            w = ell_idx.shape[1]
+            wp = _round_up(w + 1, 128)  # DMA slices must be 128-lane aligned
+            pad = wp - 1 - w
+            self.meta_indices = jnp.pad(
+                jnp.concatenate([deg[:, None], ell_idx], axis=1),
+                ((0, 0), (0, pad)),
+            )
+            self.meta_weights = jnp.pad(
+                jnp.concatenate(
+                    [jnp.zeros((n, 1), jnp.float32), ell_w], axis=1
+                ),
+                ((0, 0), (0, pad)),
+            )
+            self.weighted_degrees = device_graph.degrees.astype(jnp.float32)
+        else:
+            ell_idx, ell_w = graph.to_ell(pad_multiple=1)
+            w = ell_idx.shape[1]
+            wp = _round_up(w + 1, 128)
+            meta_idx = np.zeros((n, wp), dtype=np.int32)
+            meta_w = np.zeros((n, wp), dtype=np.float32)
+            meta_idx[:, 0] = np.asarray(deg)
+            meta_idx[:, 1 : w + 1] = ell_idx
+            meta_w[:, 1 : w + 1] = ell_w
+            self.meta_indices = jnp.asarray(meta_idx)
+            self.meta_weights = jnp.asarray(meta_w)
+            self.weighted_degrees = jnp.asarray(
+                graph.weighted_degrees, dtype=jnp.float32
+            )
         self.num_nodes = n
         self.padded_nodes = _round_up(n, 1024)
-        self.weighted_degrees = jnp.asarray(
-            graph.weighted_degrees, dtype=jnp.float32
-        )
         # Chunk-planned SpMV for the initial A@s / cut and the final
         # from-scratch verification (avoids XLA's scalar-loop gather).
-        self.spmv_plan = SpmvPlan.from_graph(graph)
+        if plan is None:
+            from eig_kl_tpu.ops.spmv_pallas import plan_for_graph
+
+            plan = plan_for_graph(graph)
+        self.spmv_plan = plan
 
     @property
     def row_width(self) -> int:

@@ -19,6 +19,8 @@ import dataclasses
 import jax.numpy as jnp
 import numpy as np
 
+import jax
+
 from eig_kl_tpu.graph.expand import clique_expand
 from eig_kl_tpu.io.eigfile import EigResult
 from eig_kl_tpu.io.hgr import Hypergraph
@@ -27,6 +29,30 @@ from eig_kl_tpu.kl.init import random_split, split_from_eig
 from eig_kl_tpu.spectral.partition import eig_partition
 from eig_kl_tpu.utils.config import KLConfig, SpectralConfig
 from eig_kl_tpu.utils.tracing import Tracer
+
+
+def _use_mega(config: KLConfig, dtype) -> bool:
+    """Engine auto-selection: the single-kernel Pallas engine on TPU
+    (f32 only), else the XLA while_loop engine."""
+    if config.use_pallas is not None:
+        return config.use_pallas
+    return (
+        jax.default_backend() == "tpu"
+        and jnp.dtype(dtype) == jnp.float32
+        and config.refresh_interval == 0
+    )
+
+
+def _refine_dispatch(g_host, g_dev, sides, config: KLConfig, dtype) -> KLResult:
+    if _use_mega(config, dtype):
+        from eig_kl_tpu.kl.megakernel import MegaGraph, refine_mega
+
+        return refine_mega(
+            MegaGraph(g_host, plan=g_dev.plan, device_graph=g_dev),
+            sides,
+            config,
+        )
+    return refine(g_dev, sides, config)
 
 
 @dataclasses.dataclass
@@ -71,7 +97,10 @@ def kl_partition(
     """
     tracer = Tracer()
     with tracer.span("graph.build"):
-        g = clique_expand(hg, "kl").to_device(dtype=dtype)
+        g_host = clique_expand(hg, "kl")
+        g = g_host.to_device(
+            dtype=dtype, with_plan=jax.default_backend() == "tpu"
+        )
     eig = init if isinstance(init, EigResult) else None
     with tracer.span("init"):
         if init is None:
@@ -81,7 +110,7 @@ def kl_partition(
         else:
             sides = np.asarray(init, dtype=np.int8)
     with tracer.span("kl.refine"):
-        result = refine(g, sides, kl_config)
+        result = _refine_dispatch(g_host, g, sides, kl_config, dtype)
     return PartitionRun(
         circuit=hg.name, eig=eig, kl=result, timings=dict(tracer.spans)
     )
@@ -105,7 +134,10 @@ def fused_partition(
     """
     tracer = Tracer()
     with tracer.span("graph.build"):
-        g = clique_expand(hg, "kl").to_device(dtype=dtype)
+        g_host = clique_expand(hg, "kl")
+        g = g_host.to_device(
+            dtype=dtype, with_plan=jax.default_backend() == "tpu"
+        )
     eig = None
     with tracer.span("init"):
         if use_eig:
@@ -115,7 +147,7 @@ def fused_partition(
         else:
             sides = random_split(hg.num_nodes, seed)
     with tracer.span("kl.refine"):
-        result = refine(g, sides, kl_config)
+        result = _refine_dispatch(g_host, g, sides, kl_config, dtype)
     return PartitionRun(
         circuit=hg.name, eig=eig, kl=result, timings=dict(tracer.spans)
     )

@@ -37,12 +37,18 @@ def signs_to_sides(s: jnp.ndarray) -> jnp.ndarray:
 
 
 def spmv(g: DeviceGraph, x: jnp.ndarray) -> jnp.ndarray:
-    """``A @ x`` over the padded ELL adjacency.
+    """``A @ x`` -- the workhorse of both gains and the spectral phase
+    (sparseMVKernel analog, gKL2.cu:65-89).
 
-    Pads gather the row's own x with weight 0, so they contribute
-    nothing.  This is the workhorse of both gains and the spectral
-    phase (sparseMVKernel analog, gKL2.cu:65-89).
+    Dispatch: if the graph carries a chunk plan and the compute dtype is
+    f32, use the Pallas lane-shuffle kernel (vector-speed gathers);
+    otherwise the padded-ELL gather + row-sum (pads gather the row's own
+    x with weight 0, so they contribute nothing).
     """
+    if g.plan is not None and g.ell_weights.dtype == jnp.float32:
+        from eig_kl_tpu.ops.spmv_pallas import spmv_pallas
+
+        return spmv_pallas(g.plan, x)
     return (g.ell_weights * x[g.ell_indices].astype(g.ell_weights.dtype)).sum(axis=1)
 
 

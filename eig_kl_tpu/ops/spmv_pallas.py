@@ -33,8 +33,8 @@ gKL.cu:104-145 -- gains are ``-s * (A s)``).
 
 from __future__ import annotations
 
+import dataclasses
 import functools
-from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -52,19 +52,22 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-class SpmvPlan(NamedTuple):
-    """Static routing plan for one sparse matrix (a JAX pytree).
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class SpmvPlan:
+    """Static routing plan for one sparse matrix (a JAX pytree whose
+    geometry fields are static aux data, so the plan can flow through
+    jit as an argument).
 
     Attributes:
       cw8: int32[C] per-chunk x-window start, in (*,128)-row units.
       rw8: int32[C] per-chunk y-window start, in (*,128)-row units.
-      col_local: int32[C,4,128] entry column minus window base (0..1023).
-      row_local: int32[C,4,128] entry row minus window base (0..1023).
+      col_local: int16[C,4,128] entry column minus window base (0..1023).
+      row_local: int16[C,4,128] entry row minus window base (0..1023).
       weights: f32[C,4,128] entry weights (0 for padding entries).
-      route_src: int32[C,8,128] flat chunk position (0..511) of the
-        segment-last entry for each y-window row; 0 where invalid.
-      route_valid: f32[C,8,128] 1.0 where the window row receives a
-        total from this chunk, else 0.0.
+      route_src: int16[C,8,128] flat chunk position (0..511) of the
+        segment-last entry for each y-window row; -1 where the window
+        row receives nothing from this chunk.
       padded_nodes: n rounded up to a multiple of 1024.
     """
 
@@ -74,8 +77,22 @@ class SpmvPlan(NamedTuple):
     row_local: jnp.ndarray
     weights: jnp.ndarray
     route_src: jnp.ndarray
-    route_valid: jnp.ndarray
     padded_nodes: int
+
+    def tree_flatten(self):
+        children = (
+            self.cw8,
+            self.rw8,
+            self.col_local,
+            self.row_local,
+            self.weights,
+            self.route_src,
+        )
+        return children, self.padded_nodes
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, aux)
 
     @property
     def num_chunks(self) -> int:
@@ -96,7 +113,11 @@ class SpmvPlan(NamedTuple):
 def build_plan(
     n: int, rows: np.ndarray, cols: np.ndarray, weights: np.ndarray
 ) -> SpmvPlan:
-    """Build the static chunk plan from COO entries (host, NumPy)."""
+    """Build the static chunk plan from COO entries (host, NumPy).
+
+    Fully vectorized: chunk keys are (column stripe, aligned 1024-row
+    window); each key group is split into 512-entry chunks.
+    """
     P = _round_up(max(n, 1), WINDOW)
     nnz = rows.shape[0]
     if nnz == 0:
@@ -104,63 +125,57 @@ def build_plan(
         cols = np.zeros(1, np.int64)
         weights = np.zeros(1, np.float32)
         nnz = 1
+    rows = rows.astype(np.int64)
+    cols = cols.astype(np.int64)
 
     stripe = cols // WINDOW
-    order = np.lexsort((cols, rows, stripe))
+    # Aligned row windows, clamped so they never overrun the padding.
+    rblock = np.minimum((rows // WINDOW) * WINDOW, P - WINDOW)
+    key = stripe * (P // WINDOW + 1) + rblock // WINDOW
+    order = np.lexsort((rows, key))
     rows, cols, weights = rows[order], cols[order], weights[order]
-    stripe = stripe[order]
+    stripe, rblock, key = stripe[order], rblock[order], key[order]
 
-    # Chunk boundaries: stay within one stripe and one 1024-row window.
-    starts = []
-    ends = []
-    i = 0
-    stripe_end_at = np.searchsorted(
-        stripe, np.arange(stripe[-1] + 2)
-    )  # stripe_end_at[s] = first index of stripe >= s
-    while i < nnz:
-        s = stripe[i]
-        se = stripe_end_at[s + 1]
-        # Clamp so the 1024-row y-window never overruns the padded array.
-        rw_base = min((rows[i] // 128) * 128, P - WINDOW)
-        # last entry allowed: row < rw_base + WINDOW
-        je = np.searchsorted(rows[i:se], rw_base + WINDOW) + i
-        j = min(i + CHUNK, je, se)
-        starts.append(i)
-        ends.append(j)
-        i = j
+    # Group boundaries -> chunk starts (512-entry pieces per group).
+    new_group = np.empty(nnz, dtype=bool)
+    new_group[0] = True
+    np.not_equal(key[1:], key[:-1], out=new_group[1:])
+    group_start = np.repeat(
+        np.flatnonzero(new_group), np.diff(np.flatnonzero(new_group), append=nnz)
+    )
+    in_group_pos = np.arange(nnz) - group_start
+    is_chunk_start = in_group_pos % CHUNK == 0
+    starts = np.flatnonzero(is_chunk_start)
     C = len(starts)
-    starts = np.asarray(starts)
-    ends = np.asarray(ends)
-    counts = ends - starts
+    counts = np.diff(starts, append=nnz)
+    chunk_id = np.repeat(np.arange(C), counts)
+    flat_pos = np.arange(nnz) - starts[chunk_id]
 
     cw8 = (stripe[starts] * (WINDOW // 128)).astype(np.int32)
-    rw_base = np.minimum((rows[starts] // 128) * 128, P - WINDOW)
+    rw_base = rblock[starts]
     rw8 = (rw_base // 128).astype(np.int32)
 
     # Scatter entries into (C, 512) with padding that extends the last
     # real segment with zero weight.
-    flat_pos = np.arange(nnz) - np.repeat(starts, counts)
-    chunk_id = np.repeat(np.arange(C), counts)
-    col_local = np.zeros((C, CHUNK), np.int32)
-    row_local = np.zeros((C, CHUNK), np.int32)
+    col_local = np.zeros((C, CHUNK), np.int16)
+    row_local = np.zeros((C, CHUNK), np.int16)
     w_arr = np.zeros((C, CHUNK), np.float32)
     col_local[chunk_id, flat_pos] = cols - stripe[starts][chunk_id] * WINDOW
     row_local[chunk_id, flat_pos] = rows - rw_base[chunk_id]
     w_arr[chunk_id, flat_pos] = weights
-    # Padding rows continue the last real segment (weight stays 0).
+    # Padding slots continue the last real segment (weight stays 0).
     last_rl = row_local[np.arange(C), counts - 1]
     pad_mask = np.arange(CHUNK)[None, :] >= counts[:, None]
     row_local = np.where(pad_mask, last_rl[:, None], row_local)
 
-    # Segment-last flat positions -> routing map.
-    nxt = np.roll(row_local, -1, axis=1)
-    is_last = (np.arange(CHUNK)[None, :] == CHUNK - 1) | (nxt != row_local)
+    # Segment-last flat positions -> routing map (-1 = no total here).
+    is_last = np.empty((C, CHUNK), dtype=bool)
+    is_last[:, -1] = True
+    np.not_equal(row_local[:, 1:], row_local[:, :-1], out=is_last[:, :-1])
     c_idx, p_idx = np.nonzero(is_last)
-    r_idx = row_local[c_idx, p_idx]
-    route_src = np.zeros((C, WINDOW), np.int32)
-    route_valid = np.zeros((C, WINDOW), np.float32)
+    r_idx = row_local[c_idx, p_idx].astype(np.int64)
+    route_src = np.full((C, WINDOW), -1, np.int16)
     route_src[c_idx, r_idx] = p_idx
-    route_valid[c_idx, r_idx] = 1.0
 
     return SpmvPlan(
         cw8=jnp.asarray(cw8),
@@ -169,7 +184,6 @@ def build_plan(
         row_local=jnp.asarray(row_local.reshape(C, 4, 128)),
         weights=jnp.asarray(w_arr.reshape(C, 4, 128)),
         route_src=jnp.asarray(route_src.reshape(C, 8, 128)),
-        route_valid=jnp.asarray(route_valid.reshape(C, 8, 128)),
         padded_nodes=P,
     )
 
@@ -186,7 +200,7 @@ def _flat_shift(x, k, lane):
     return pltpu.roll(x, r0, axis=0)
 
 
-def _spmv_kernel(cw_ref, rw_ref, x_ref, cl_ref, rl_ref, w_ref, src_ref, val_ref, y_ref):
+def _spmv_kernel(cw_ref, rw_ref, x_ref, cl_ref, rl_ref, w_ref, src_ref, y_ref):
     c = pl.program_id(0)
 
     @pl.when(c == 0)
@@ -198,7 +212,7 @@ def _spmv_kernel(cw_ref, rw_ref, x_ref, cl_ref, rl_ref, w_ref, src_ref, val_ref,
 
     # --- expand: g[p] = x_window[col_local[p]] -------------------------
     X = x_ref[pl.ds(cw_ref[c], 8), :]
-    cl = cl_ref[0]
+    cl = cl_ref[0].astype(jnp.int32)
     q = cl >> 7
     l = cl & 127
     g = jnp.zeros((4, 128), jnp.float32)
@@ -210,7 +224,7 @@ def _spmv_kernel(cw_ref, rw_ref, x_ref, cl_ref, rl_ref, w_ref, src_ref, val_ref,
     e = g * w_ref[0]
 
     # --- segmented inclusive scan over flat order ----------------------
-    rl = rl_ref[0]
+    rl = rl_ref[0].astype(jnp.int32)
     for k in (1, 2, 4, 8, 16, 32, 64, 128, 256):
         se = _flat_shift(e, k, lane4)
         sr = _flat_shift(rl, k, lane4)
@@ -218,7 +232,9 @@ def _spmv_kernel(cw_ref, rw_ref, x_ref, cl_ref, rl_ref, w_ref, src_ref, val_ref,
         e = e + jnp.where(m, se, 0.0)
 
     # --- route segment totals into the y window ------------------------
-    src = src_ref[0]
+    src = src_ref[0].astype(jnp.int32)
+    valid = src >= 0
+    src = jnp.where(valid, src, 0)
     ps = src >> 7
     pl_ = src & 127
     out = jnp.zeros((8, 128), jnp.float32)
@@ -227,7 +243,7 @@ def _spmv_kernel(cw_ref, rw_ref, x_ref, cl_ref, rl_ref, w_ref, src_ref, val_ref,
             jnp.broadcast_to(e[qq : qq + 1, :], (8, 128)), pl_, axis=1
         )
         out = out + jnp.where(ps == qq, cand, 0.0)
-    out = out * val_ref[0]
+    out = jnp.where(valid, out, 0.0)
 
     rw = rw_ref[c]
     y_ref[pl.ds(rw, 8), :] += out
@@ -245,7 +261,6 @@ def _spmv_call(plan: SpmvPlan, x2d: jnp.ndarray, *, interpret: bool = False):
             pl.BlockSpec((1, 4, 128), lambda c, *_: (c, 0, 0)),
             pl.BlockSpec((1, 4, 128), lambda c, *_: (c, 0, 0)),
             pl.BlockSpec((1, 4, 128), lambda c, *_: (c, 0, 0)),
-            pl.BlockSpec((1, 8, 128), lambda c, *_: (c, 0, 0)),
             pl.BlockSpec((1, 8, 128), lambda c, *_: (c, 0, 0)),
         ],
         out_specs=pl.BlockSpec(
@@ -265,15 +280,14 @@ def _spmv_call(plan: SpmvPlan, x2d: jnp.ndarray, *, interpret: bool = False):
         plan.row_local,
         plan.weights,
         plan.route_src,
-        plan.route_valid,
     )
 
 
 def spmv_pallas(
-    plan: SpmvPlan, x: jnp.ndarray, *, interpret: bool | None = None
+    plan, x: jnp.ndarray, *, interpret: bool | None = None
 ) -> jnp.ndarray:
-    """``A @ x`` through the chunk plan.  x: float[n] (any float dtype,
-    computed in f32).  Returns float32[n]."""
+    """``A @ x`` through a v1 or v2 chunk plan.  x: float[n] (any float
+    dtype, computed in f32).  Returns float32[n]."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     P = plan.padded_nodes
@@ -281,5 +295,299 @@ def spmv_pallas(
     x2d = (
         jnp.zeros(P, jnp.float32).at[:n].set(x.astype(jnp.float32)).reshape(P // 128, 128)
     )
-    y = _spmv_call(plan, x2d, interpret=interpret)
+    if isinstance(plan, SpmvPlanV2):
+        y = _spmv_v2_call(
+            plan.col_local,
+            plan.weights,
+            plan.rl_t,
+            plan.rb_of,
+            x2d,
+            n_cb=plan.n_cb,
+            n_rbp=plan.n_rbp,
+            quantum=plan.quantum,
+            g1=plan.g1,
+            g2=plan.g2,
+            interpret=interpret,
+        )
+        if plan.tail is not None:
+            y = y + _spmv_call(plan.tail, x2d, interpret=interpret)
+    else:
+        y = _spmv_call(plan, x2d, interpret=interpret)
     return y.reshape(-1)[:n]
+
+
+def plan_for_graph(graph: Graph):
+    """Pick the plan flavor: v1 when (stripe x row-window) tiles are
+    reasonably full (small or locality-friendly graphs), v2 otherwise
+    (its dense bucket transpose does not depend on locality)."""
+    n = graph.num_nodes
+    rows = np.repeat(np.arange(n, dtype=np.int64), graph.degrees)
+    cols = graph.indices.astype(np.int64)
+    w = graph.data.astype(np.float32)
+    nnz = max(rows.shape[0], 1)
+    P = _round_up(max(n, 1), WINDOW)
+    key = (cols // WINDOW) * (P // WINDOW + 1) + np.minimum(
+        rows // WINDOW, P // WINDOW - 1
+    )
+    _, counts = np.unique(key, return_counts=True)
+    v1_chunks = int(np.ceil(counts / CHUNK).sum())
+    if v1_chunks * CHUNK <= 1.7 * nnz:
+        return build_plan(n, rows, cols, w)
+    return build_plan_v2(n, rows, cols, w)
+
+
+# ---------------------------------------------------------------------------
+# v2: bucket-transpose plan for graphs with no row/column locality.
+#
+# The v1 plan keys chunks on (column stripe x 1024-row window); on a
+# *random* 200K-node graph such tiles hold ~28 entries, so chunks are
+# ~95% padding and both the kernel and the host->device plan transfer
+# pay ~18x.  The irreducible problem: one pass must be column-grouped
+# (so x-gathers are windowed) and the other row-grouped (so the y
+# reduction is windowed), and the regrouping between them is an
+# arbitrary nnz-sized static permutation.  v2 pays that permutation as
+# a *dense* XLA transpose by quantizing (column-block x row-block)
+# buckets to a fixed slot count Q:
+#
+#   pass 1 (gather):  slots laid out (col-block, row-block, Q); every
+#       512-slot chunk shares one 1024-wide x-window -> lane-shuffle
+#       gather as in v1.  Emits e[slot] = w * x[col].
+#   glue:             reshape/transpose (cb, rb, Q) -> (rb, cb, Q) --
+#       a dense 4-5 MB XLA transpose (~10s of us).
+#   pass 2 (reduce):  each row-block's slots reduce into a 512-row
+#       y-window via a one-hot compare-sum (rows inside a bucket are
+#       *not* contiguous across buckets, so the v1 segmented scan does
+#       not apply).
+#
+# Bucket overflow (> Q entries, e.g. clique rows from a 585-pin net)
+# spills to a v1-format tail plan; y = y_main + y_tail.
+# ---------------------------------------------------------------------------
+
+RBLOCK = 512          # pass-2 y-window rows per row-block
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class SpmvPlanV2:
+    """Bucket-transpose plan (a JAX pytree; see section comment above).
+
+    Attributes:
+      col_local: int16[C1,4,128] pass-1 slot column offsets in-window.
+      weights: f32[C1,4,128] pass-1 slot weights (0 = padding).
+      rl_t: f32[C2g,8,512] pass-2 per-slot row offsets in the 512-row
+        window, already in transposed slot order; -1 = padding.
+      rb_of: int32[C2g*8] y-window row-block per pass-2 sub-chunk.
+      tail: v1 plan for bucket-overflow entries, or None.
+      padded_nodes / n_cb / n_rbp / quantum / g1 / g2: static geometry.
+    """
+
+    col_local: jnp.ndarray
+    weights: jnp.ndarray
+    rl_t: jnp.ndarray
+    rb_of: jnp.ndarray
+    tail: SpmvPlan | None
+    padded_nodes: int
+    n_cb: int
+    n_rbp: int
+    quantum: int
+    g1: int
+    g2: int
+
+    def tree_flatten(self):
+        children = (self.col_local, self.weights, self.rl_t, self.rb_of, self.tail)
+        aux = (
+            self.padded_nodes,
+            self.n_cb,
+            self.n_rbp,
+            self.quantum,
+            self.g1,
+            self.g2,
+        )
+        return children, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+
+def build_plan_v2(
+    n: int, rows: np.ndarray, cols: np.ndarray, weights: np.ndarray
+) -> SpmvPlanV2:
+    P = _round_up(max(n, 1), WINDOW)
+    nnz = max(rows.shape[0], 1)
+    rows = rows.astype(np.int64)
+    cols = cols.astype(np.int64)
+    n_cb = P // WINDOW
+    n_rb = P // RBLOCK
+
+    lam = max(nnz / (n_cb * n_rb), 1.0)
+    Q = 4
+    while Q < min(512, lam * 1.5):
+        Q *= 2
+
+    cb = cols // WINDOW
+    rb = rows // RBLOCK
+    bucket = cb * n_rb + rb
+    order = np.lexsort((rows, bucket))
+    rows, cols, w = rows[order], cols[order], weights[order]
+    cb, rb, bucket = cb[order], rb[order], bucket[order]
+
+    # Rank within bucket; rank >= Q spills to the tail plan.
+    uniq, start_idx, counts = np.unique(
+        bucket, return_index=True, return_counts=True
+    )
+    rank = np.arange(nnz) - np.repeat(start_idx, counts)
+    main = rank < Q
+    tail = None
+    if (~main).any():
+        tail = build_plan(n, rows[~main], cols[~main], w[~main])
+
+    rows_m, cols_m, w_m = rows[main], cols[main], w[main]
+    cb_m, rb_m, rank_m = cb[main], rb[main], rank[main]
+
+    # Pass-1 slot grid: (n_cb, n_rbp, Q) flattened, n_rbp chosen so each
+    # col-block group is a whole number of 512-slot chunks.
+    per = max(CHUNK // Q, 1)
+    n_rbp = _round_up(n_rb, per)
+    g1 = n_rbp * Q
+    slot = cb_m * g1 + rb_m * Q + rank_m
+    S1 = n_cb * g1
+    col_local = np.zeros(S1, np.int16)
+    w_arr = np.zeros(S1, np.float32)
+    col_local[slot] = cols_m - cb_m * WINDOW
+    w_arr[slot] = w_m
+    C1 = S1 // CHUNK
+
+    # Pass-2 transposed slot grid: (n_rbp, n_cb, Q) padded to g2 lanes.
+    g2 = _round_up(n_cb * Q, CHUNK)
+    rl_grid = np.full((n_cb, n_rbp, Q), -1.0, np.float32)
+    rl_grid.reshape(-1)[slot] = (rows_m - rb_m * RBLOCK).astype(np.float32)
+    rl_t = np.full((n_rbp, g2), -1.0, np.float32)
+    rl_t[:, : n_cb * Q] = rl_grid.transpose(1, 0, 2).reshape(n_rbp, n_cb * Q)
+    C2 = n_rbp * g2 // CHUNK
+    C2p = _round_up(C2, 8)
+    rl_t2 = np.full((C2p, CHUNK), -1.0, np.float32)
+    rl_t2[:C2] = rl_t.reshape(C2, CHUNK)
+    rb_of = np.zeros(C2p, np.int32)
+    rb_of[:C2] = np.arange(C2) // (g2 // CHUNK)
+
+    return SpmvPlanV2(
+        col_local=jnp.asarray(col_local.reshape(C1, 4, 128)),
+        weights=jnp.asarray(w_arr.reshape(C1, 4, 128)),
+        rl_t=jnp.asarray(rl_t2.reshape(C2p // 8, 8, CHUNK)),
+        rb_of=jnp.asarray(rb_of),
+        tail=tail,
+        padded_nodes=P,
+        n_cb=n_cb,
+        n_rbp=n_rbp,
+        quantum=Q,
+        g1=g1,
+        g2=g2,
+    )
+
+
+def _gather_kernel(x_ref, cl_ref, w_ref, e_ref, *, chunks_per_cb: int):
+    c = pl.program_id(0)
+    cw8 = (c // chunks_per_cb) * (WINDOW // 128)
+    X = x_ref[pl.ds(cw8, 8), :]
+    cl = cl_ref[0].astype(jnp.int32)
+    q = cl >> 7
+    l = cl & 127
+    g = jnp.zeros((4, 128), jnp.float32)
+    for qq in range(8):
+        cand = jnp.take_along_axis(
+            jnp.broadcast_to(X[qq : qq + 1, :], (4, 128)), l, axis=1
+        )
+        g = g + jnp.where(q == qq, cand, 0.0)
+    e_ref[0] = g * w_ref[0]
+
+
+def _reduce_kernel(rb_ref, e_ref, rl_ref, y_ref, *, ry: int):
+    c = pl.program_id(0)
+
+    @pl.when(c == 0)
+    def _():
+        y_ref[:] = jnp.zeros_like(y_ref)
+
+    eT = jnp.transpose(e_ref[0])    # (8,512) -> (512,8)
+    rlT = jnp.transpose(rl_ref[0])
+    iota = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 128), 1).astype(
+        jnp.float32
+    )
+    for j in range(8):
+        e_col = eT[:, j : j + 1]
+        rl_col = rlT[:, j : j + 1]
+        rb = rb_ref[c * 8 + j]
+        for h in range(RBLOCK // 128):
+            oh = (rl_col == iota + 128.0 * h).astype(jnp.float32)
+            part = jnp.sum(oh * e_col, axis=0, keepdims=True)
+            base = rb * (RBLOCK // 128) + h
+            y_ref[pl.ds(base, 1), :] += part
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_cb", "n_rbp", "quantum", "g1", "g2", "interpret"),
+)
+def _spmv_v2_call(
+    col_local,
+    weights,
+    rl_t,
+    rb_of,
+    x2d: jnp.ndarray,
+    *,
+    n_cb: int,
+    n_rbp: int,
+    quantum: int,
+    g1: int,
+    g2: int,
+    interpret: bool = False,
+):
+    C1 = col_local.shape[0]
+    C2g = rl_t.shape[0]
+    R = x2d.shape[0]
+    Q = quantum
+    ry = max(R, n_rbp * (RBLOCK // 128))
+
+    e1 = pl.pallas_call(
+        functools.partial(_gather_kernel, chunks_per_cb=g1 // CHUNK),
+        out_shape=jax.ShapeDtypeStruct((C1, 4, 128), jnp.float32),
+        grid=(C1,),
+        in_specs=[
+            pl.BlockSpec((R, 128), lambda c: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, 128), lambda c: (c, 0, 0)),
+            pl.BlockSpec((1, 4, 128), lambda c: (c, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 4, 128), lambda c: (c, 0, 0)),
+        interpret=interpret,
+    )(x2d, col_local, weights)
+
+    # Dense bucket transpose: (cb, rbp, Q) -> (rbp, cb*Q), pad to g2.
+    et = (
+        e1.reshape(n_cb, n_rbp, Q)
+        .transpose(1, 0, 2)
+        .reshape(n_rbp, n_cb * Q)
+    )
+    et = jnp.pad(et, ((0, 0), (0, g2 - n_cb * Q)))
+    C2 = n_rbp * g2 // CHUNK
+    et = jnp.pad(
+        et.reshape(C2, CHUNK), ((0, C2g * 8 - C2), (0, 0))
+    ).reshape(C2g, 8, CHUNK)
+
+    y = pl.pallas_call(
+        functools.partial(_reduce_kernel, ry=ry),
+        out_shape=jax.ShapeDtypeStruct((ry, 128), jnp.float32),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(C2g,),
+            in_specs=[
+                pl.BlockSpec((1, 8, CHUNK), lambda c, *_: (c, 0, 0)),
+                pl.BlockSpec((1, 8, CHUNK), lambda c, *_: (c, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec(
+                (ry, 128), lambda c, *_: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ),
+        interpret=interpret,
+    )(rb_of, et, rl_t)
+    return y[:R]

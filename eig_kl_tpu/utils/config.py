@@ -31,15 +31,18 @@ class KLConfig:
         natural KL exhaustion point).
       refresh_interval: if > 0, recompute the cached ``A @ s`` from
         scratch every this many swaps (a stronger form of the disabled
-        verifyAndCorrectCutSize at gKL.cu:368-382).  0 = off.
-      use_pallas: use the Pallas fused select kernel when on TPU.
+        verifyAndCorrectCutSize at gKL.cu:368-382).  0 = off.  Only
+        supported by the XLA engine.
+      use_pallas: engine selection for :func:`models.pipelines` --
+        True = single-kernel Pallas engine (megakernel), False = XLA
+        while_loop engine, None = auto (Pallas on TPU).
     """
 
     gain_eps: float = 0.0
     terminate_extra: int = 5
     max_iterations: int | None = None
     refresh_interval: int = 0
-    use_pallas: bool = False
+    use_pallas: bool | None = None
 
     def terminate_limit(self, num_nodes: int) -> int:
         return int(math.log2(max(num_nodes, 2))) + self.terminate_extra

@@ -49,6 +49,33 @@ class TestSpmvPallas:
             atol=1e-5,
         )
 
+    def test_random_coo_multi_stripe_both_plans(self, rng):
+        """General COO (duplicates, unsorted, spanning many column
+        stripes) through both plan flavors.  Regression: v1 once
+        indexed the per-entry stripe array by chunk id, which only
+        showed up with >1 stripe (n > 1024)."""
+        from eig_kl_tpu.ops.spmv_pallas import (
+            build_plan,
+            build_plan_v2,
+            spmv_pallas,
+        )
+
+        n, nnz = 3000, 9000
+        rows = rng.integers(0, n, nnz).astype(np.int64)
+        cols = rng.integers(0, n, nnz).astype(np.int64)
+        w = rng.standard_normal(nnz).astype(np.float32)
+        x = rng.standard_normal(n).astype(np.float32)
+        y_ref = np.zeros(n, np.float64)
+        np.add.at(y_ref, rows, w * x[cols])
+        for plan in (
+            build_plan(n, rows, cols, w),
+            build_plan_v2(n, rows, cols, w),
+        ):
+            y = np.asarray(
+                spmv_pallas(plan, jnp.asarray(x), interpret=True)
+            )
+            np.testing.assert_allclose(y, y_ref, rtol=1e-4, atol=1e-4)
+
     def test_skewed_degrees(self, rng):
         """One giant net (the industry2 585-pin case, scaled down)."""
         from eig_kl_tpu.io.hgr import Hypergraph

@@ -75,6 +75,7 @@ class MegaGraph:
     ):
         n = graph.num_nodes
         deg = jnp.asarray(graph.degrees.astype(np.int32))
+        n8 = _round_up(n, 8)  # row DMAs read aligned 8-row blocks
         if device_graph is not None:
             # Derive the meta rows on device from the already-uploaded
             # ELL arrays -- host->device bandwidth is the scarce
@@ -86,24 +87,24 @@ class MegaGraph:
             pad = wp - 1 - w
             self.meta_indices = jnp.pad(
                 jnp.concatenate([deg[:, None], ell_idx], axis=1),
-                ((0, 0), (0, pad)),
+                ((0, n8 - n), (0, pad)),
             )
             self.meta_weights = jnp.pad(
                 jnp.concatenate(
                     [jnp.zeros((n, 1), jnp.float32), ell_w], axis=1
                 ),
-                ((0, 0), (0, pad)),
+                ((0, n8 - n), (0, pad)),
             )
             self.weighted_degrees = device_graph.degrees.astype(jnp.float32)
         else:
             ell_idx, ell_w = graph.to_ell(pad_multiple=1)
             w = ell_idx.shape[1]
             wp = _round_up(w + 1, 128)
-            meta_idx = np.zeros((n, wp), dtype=np.int32)
-            meta_w = np.zeros((n, wp), dtype=np.float32)
-            meta_idx[:, 0] = np.asarray(deg)
-            meta_idx[:, 1 : w + 1] = ell_idx
-            meta_w[:, 1 : w + 1] = ell_w
+            meta_idx = np.zeros((n8, wp), dtype=np.int32)
+            meta_w = np.zeros((n8, wp), dtype=np.float32)
+            meta_idx[:n, 0] = np.asarray(deg)
+            meta_idx[:n, 1 : w + 1] = ell_idx
+            meta_w[:n, 1 : w + 1] = ell_w
             self.meta_indices = jnp.asarray(meta_idx)
             self.meta_weights = jnp.asarray(meta_w)
             self.weighted_degrees = jnp.asarray(
@@ -185,11 +186,11 @@ def _kernel(
         ref[pl.ds(q, 1), :] = jnp.where(lane == l, value, row)
 
     def cond(carry):
-        it, cut, best_cut, term, nf0, nf1, stop = carry
+        it, cut, comp, best_cut, term, nf0, nf1, stop = carry
         return (stop == 0) & (it < max_iters) & (nf0 > 0) & (nf1 > 0)
 
     def body(carry):
-        it, cut, best_cut, term, nf0, nf1, stop = carry
+        it, cut, comp, best_cut, term, nf0, nf1, stop = carry
         s = s_ref[:]
         a_s = as_ref[:]
         free = free_ref[:]
@@ -205,11 +206,18 @@ def _kernel(
         b = jnp.min(jnp.where(dr == m_r, flat, big_i))
 
         # Fetch both adjacency rows: indices+degree to SMEM for the
-        # scalar loop, weights to SMEM alongside.
-        cp0 = pltpu.make_async_copy(idx_hbm.at[pl.ds(a, 1), :], ia_ref, sems.at[0])
-        cp1 = pltpu.make_async_copy(idx_hbm.at[pl.ds(b, 1), :], ib_ref, sems.at[1])
-        cp2 = pltpu.make_async_copy(w_hbm.at[pl.ds(a, 1), :], wa_ref, sems.at[2])
-        cp3 = pltpu.make_async_copy(w_hbm.at[pl.ds(b, 1), :], wb_ref, sems.at[3])
+        # scalar loop, weights to SMEM alongside.  HBM arrays with
+        # W > 128 lanes are (8,128)-tiled, so single-row slices are
+        # rejected by Mosaic -- DMA the aligned 8-row block and select
+        # the wanted row with a scalar index.
+        blk_a = (a // 8) * 8
+        blk_b = (b // 8) * 8
+        ra = a % 8
+        rb = b % 8
+        cp0 = pltpu.make_async_copy(idx_hbm.at[pl.ds(blk_a, 8), :], ia_ref, sems.at[0])
+        cp1 = pltpu.make_async_copy(idx_hbm.at[pl.ds(blk_b, 8), :], ib_ref, sems.at[1])
+        cp2 = pltpu.make_async_copy(w_hbm.at[pl.ds(blk_a, 8), :], wa_ref, sems.at[2])
+        cp3 = pltpu.make_async_copy(w_hbm.at[pl.ds(blk_b, 8), :], wb_ref, sems.at[3])
         cp0.start()
         cp1.start()
         cp2.start()
@@ -225,16 +233,16 @@ def _kernel(
         cp2.wait()
         cp3.wait()
 
-        deg_a = ia_ref[0, 0]
-        deg_b = ib_ref[0, 0]
+        deg_a = ia_ref[ra, 0]
+        deg_b = ib_ref[rb, 0]
 
         # Scatter side a's row into A@s (flip contribution -2*s_a*w per
         # neighbor) while accumulating w_ab for the swap gain.
         coef_a = -2.0 * s_a
 
         def loop_a(k, wab):
-            j = ia_ref[0, k]
-            w = wa_ref[0, k]
+            j = ia_ref[ra, k]
+            w = wa_ref[ra, k]
             rmw_add(as_ref, j // 128, j % 128, coef_a * w)
             return wab + jnp.where(j == b, w, 0.0)
 
@@ -243,8 +251,8 @@ def _kernel(
         coef_b = -2.0 * s_b
 
         def loop_b(k, _):
-            j = ib_ref[0, k]
-            w = wb_ref[0, k]
+            j = ib_ref[rb, k]
+            w = wb_ref[rb, k]
             rmw_add(as_ref, j // 128, j % 128, coef_b * w)
             return 0
 
@@ -257,7 +265,12 @@ def _kernel(
         rmw_set(free_ref, q_b, l_b, 0.0)
 
         gain = m_l + m_r - 2.0 * w_ab
-        cut2 = cut - gain
+        # Kahan-compensated cut accumulation (gKL.cu:384-414 keeps a
+        # compensated sum for the same reason).
+        y = -gain - comp
+        t = cut + y
+        comp2 = (t - cut) - y
+        cut2 = t
         best2 = jnp.minimum(cut2, best_cut)
         it2 = it + 1
         rmw_set(log_cut_ref, it2 // 128, it2 % 128, cut2)
@@ -270,7 +283,7 @@ def _kernel(
 
         term2 = jnp.where(gain <= gain_eps, term + 1, 0)
         stop2 = (term2 > terminate_limit).astype(jnp.int32)
-        return (it2, cut2, best2, term2, nf0 - 1, nf1 - 1, stop2)
+        return (it2, cut2, comp2, best2, term2, nf0 - 1, nf1 - 1, stop2)
 
     free = free_ref[:]
     s = s_ref[:]
@@ -279,13 +292,16 @@ def _kernel(
     init = (
         jnp.int32(0),
         cut0,
+        jnp.float32(0.0),
         cut0,
         jnp.int32(0),
         nf0,
         nf1,
         jnp.int32(0),
     )
-    it, cut, best_cut, term, nf0, nf1, stop = lax.while_loop(cond, body, init)
+    it, cut, _comp, best_cut, term, nf0, nf1, stop = lax.while_loop(
+        cond, body, init
+    )
 
     out_ref[0, 0] = cut
     out_ref[0, 1] = best_cut
@@ -362,10 +378,10 @@ def _run(
             pl.BlockSpec((1, 8), memory_space=pltpu.SMEM),
         ),
         scratch_shapes=[
-            pltpu.SMEM((1, W), jnp.int32),
-            pltpu.SMEM((1, W), jnp.int32),
-            pltpu.SMEM((1, W), jnp.float32),
-            pltpu.SMEM((1, W), jnp.float32),
+            pltpu.SMEM((8, W), jnp.int32),
+            pltpu.SMEM((8, W), jnp.int32),
+            pltpu.SMEM((8, W), jnp.float32),
+            pltpu.SMEM((8, W), jnp.float32),
             pltpu.SemaphoreType.DMA((4,)),
         ],
         interpret=interpret,

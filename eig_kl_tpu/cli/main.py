@@ -57,6 +57,23 @@ def build_parser() -> argparse.ArgumentParser:
         default=0.0,
         help="non-improving threshold (0.0 = cKL, 1e-6 = gKL)",
     )
+    p_kl.add_argument(
+        "--starts",
+        type=int,
+        default=1,
+        help="multi-start: run N independent random-init refinements "
+        "data-parallel across devices, keep the best",
+    )
+    p_kl.add_argument(
+        "--sharded",
+        action="store_true",
+        help="shard the node axis across all devices (mp mesh)",
+    )
+    p_kl.add_argument(
+        "--table",
+        action="store_true",
+        help="print the per-swap iteration table (cKL.cpp:323-330)",
+    )
 
     p_fused = sub.add_parser(
         "fused", help="in-process power-iteration EIG + KL (gKL2 pipeline)"
@@ -104,6 +121,7 @@ def cmd_eig(args) -> int:
 
 
 def _run_kl(args, fused: bool) -> int:
+    import numpy as np
     import jax.numpy as jnp
 
     from eig_kl_tpu.io.eigfile import eig_out_path
@@ -131,6 +149,39 @@ def _run_kl(args, fused: bool) -> int:
             seed=args.seed,
             dtype=dtype,
         )
+    elif getattr(args, "starts", 1) > 1:
+        if args.eig_init:
+            print("Error: --starts uses random inits (drop -EIG)", file=sys.stderr)
+            return 1
+        from eig_kl_tpu.graph.expand import clique_expand
+        from eig_kl_tpu.models.pipelines import PartitionRun
+        from eig_kl_tpu.parallel import make_mesh, multi_start_refine
+
+        import jax
+
+        g = clique_expand(hg, "kl").to_device(dtype=dtype)
+        dp = len(jax.devices())
+        mesh = make_mesh(dp=dp) if args.starts % dp == 0 and dp > 1 else None
+        best, cuts = multi_start_refine(
+            g, args.starts, config=kl_config, mesh=mesh, base_seed=args.seed
+        )
+        print(f"Multi-start best cuts: {np.sort(cuts)[:8].round(2).tolist()} ...")
+        run = PartitionRun(circuit=hg.name, eig=None, kl=best, timings={})
+    elif getattr(args, "sharded", False):
+        from eig_kl_tpu.graph.expand import clique_expand
+        from eig_kl_tpu.kl.init import random_split, split_from_eig
+        from eig_kl_tpu.models.pipelines import PartitionRun
+        from eig_kl_tpu.parallel import make_mesh, sharded_refine
+
+        sides = (
+            split_from_eig(eig_out_path(args.input))
+            if args.eig_init
+            else random_split(hg.num_nodes, args.seed)
+        )
+        res = sharded_refine(
+            clique_expand(hg, "kl"), sides, make_mesh(), dtype=dtype
+        )
+        run = PartitionRun(circuit=hg.name, eig=None, kl=res, timings={})
     else:
         init = eig_out_path(args.input) if args.eig_init else None
         run = kl_partition(
@@ -139,6 +190,8 @@ def _run_kl(args, fused: bool) -> int:
     runtime = time.perf_counter() - t0
     out = rlog.kl_results_path(args.input, args.eig_init)
     rlog.write_kl_trajectory(out, run.kl)
+    if getattr(args, "table", False):
+        print(rlog.format_iteration_table(run.kl))
     print(rlog.format_final_results(run.kl, runtime))
     for name, secs in sorted(run.timings.items()):
         print(f"  [{name}] {secs:.3f}s")

@@ -65,6 +65,10 @@ def multi_start_refine(
       (best KLResult, best_cut per start).
     """
     n = g.num_nodes
+    if g.plan is not None:
+        # The batched loop vmaps the XLA engine; the Pallas SpMV plan is
+        # single-instance machinery -- drop it for this path.
+        g = g._replace(plan=None)
     if init_sides is None:
         init_sides = np.stack(
             [random_split(n, base_seed + i) for i in range(num_starts)]

@@ -59,6 +59,28 @@ def format_final_results(result: KLResult, runtime_s: float) -> str:
     return "\n".join(lines)
 
 
+def format_iteration_table(result: KLResult, max_rows: int = 25) -> str:
+    """Console iteration table (cKL.cpp:323-330 layout), sampled down to
+    ``max_rows`` rows for long runs."""
+    n = result.iterations
+    step = max(1, n // max_rows)
+    rows = [
+        "==================== KL Iterations ====================",
+        f"{'Iter':>8} {'Cut size':>14} {'Gain':>12} {'Improve%':>9}",
+    ]
+    c0 = max(result.initial_cut, 1e-30)
+    idx = list(range(0, n + 1, step))
+    if idx[-1] != n:
+        idx.append(n)
+    for i in idx:
+        cut = result.cut_trajectory[i]
+        gain = result.gain_trajectory[i] if i > 0 else 0.0
+        rows.append(
+            f"{i:>8} {cut:>14.2f} {gain:>12.4f} {100.0 * (1 - cut / c0):>8.2f}%"
+        )
+    return "\n".join(rows)
+
+
 def format_matrix_stats(num_nodes: int, nnz: int) -> str:
     """Matrix statistics block (cKL.cpp:134-146)."""
     full_mb = num_nodes * num_nodes * 4 / (1024.0 * 1024.0)

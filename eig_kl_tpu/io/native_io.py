@@ -143,3 +143,139 @@ def clique_expand_native(hg, weighting: str, dtype=np.float64):
     finally:
         if c:
             lib.ekl_free_csr(c)
+
+
+class _EklPlanV1(ctypes.Structure):
+    _fields_ = [
+        ("cw8", ctypes.POINTER(ctypes.c_int32)),
+        ("rw8", ctypes.POINTER(ctypes.c_int32)),
+        ("col_local", ctypes.POINTER(ctypes.c_int16)),
+        ("row_local", ctypes.POINTER(ctypes.c_int16)),
+        ("weights", ctypes.POINTER(ctypes.c_float)),
+        ("route_src", ctypes.POINTER(ctypes.c_int16)),
+        ("num_chunks", ctypes.c_int64),
+        ("padded_nodes", ctypes.c_int64),
+        ("status", ctypes.c_int32),
+    ]
+
+
+class _EklPlanV2(ctypes.Structure):
+    _fields_ = [
+        ("col_local", ctypes.POINTER(ctypes.c_int16)),
+        ("weights", ctypes.POINTER(ctypes.c_float)),
+        ("rl_t", ctypes.POINTER(ctypes.c_float)),
+        ("rb_of", ctypes.POINTER(ctypes.c_int32)),
+        ("s1", ctypes.c_int64),
+        ("c2p", ctypes.c_int64),
+        ("q", ctypes.c_int64),
+        ("n_cb", ctypes.c_int64),
+        ("n_rbp", ctypes.c_int64),
+        ("g1", ctypes.c_int64),
+        ("g2", ctypes.c_int64),
+        ("padded_nodes", ctypes.c_int64),
+        ("tail_nnz", ctypes.c_int64),
+        ("tail_rows", ctypes.POINTER(ctypes.c_int32)),
+        ("tail_cols", ctypes.POINTER(ctypes.c_int32)),
+        ("tail_w", ctypes.POINTER(ctypes.c_float)),
+        ("status", ctypes.c_int32),
+    ]
+
+
+def _load_plan_symbols(lib):
+    if getattr(lib, "_plan_symbols", False):
+        return
+    I32P = ctypes.POINTER(ctypes.c_int32)
+    F64P = ctypes.POINTER(ctypes.c_double)
+    lib.ekl_plan_v1_chunks.restype = ctypes.c_int64
+    lib.ekl_plan_v1_chunks.argtypes = [ctypes.c_int64, ctypes.c_int64, I32P, I32P]
+    lib.ekl_build_plan_v1.restype = ctypes.POINTER(_EklPlanV1)
+    lib.ekl_build_plan_v1.argtypes = [ctypes.c_int64, ctypes.c_int64, I32P, I32P, F64P]
+    lib.ekl_build_plan_v2.restype = ctypes.POINTER(_EklPlanV2)
+    lib.ekl_build_plan_v2.argtypes = [ctypes.c_int64, ctypes.c_int64, I32P, I32P, F64P]
+    lib.ekl_free_plan_v1.argtypes = [ctypes.POINTER(_EklPlanV1)]
+    lib.ekl_free_plan_v2.argtypes = [ctypes.POINTER(_EklPlanV2)]
+    lib._plan_symbols = True
+
+
+def _coo_args(n, rows, cols, weights):
+    rows = np.ascontiguousarray(rows, dtype=np.int32)
+    cols = np.ascontiguousarray(cols, dtype=np.int32)
+    w = np.ascontiguousarray(weights, dtype=np.float64)
+    return (
+        rows,
+        cols,
+        w,
+        rows.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        cols.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        w.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+    )
+
+
+def plan_v1_chunks_native(n, rows, cols) -> int:
+    lib = _load()
+    _load_plan_symbols(lib)
+    r, c, _, rp, cp, _ = _coo_args(n, rows, cols, np.zeros(0))
+    return int(lib.ekl_plan_v1_chunks(n, len(r), rp, cp))
+
+
+def build_plan_v1_native(n, rows, cols, weights) -> dict:
+    """Native v1 chunk plan; returns a dict of NumPy arrays matching
+    eig_kl_tpu.ops.spmv_pallas.build_plan's fill exactly."""
+    lib = _load()
+    _load_plan_symbols(lib)
+    r, c, w, rp, cp, wp = _coo_args(n, rows, cols, weights)
+    p = lib.ekl_build_plan_v1(n, len(r), rp, cp, wp)
+    try:
+        s = p.contents
+        C = int(s.num_chunks)
+        def arr(ptr, size, dt):
+            return np.ctypeslib.as_array(ptr, shape=(max(size, 1),))[:size].copy()
+        return dict(
+            cw8=arr(s.cw8, C, np.int32),
+            rw8=arr(s.rw8, C, np.int32),
+            col_local=arr(s.col_local, C * 512, np.int16).reshape(C, 4, 128),
+            row_local=arr(s.row_local, C * 512, np.int16).reshape(C, 4, 128),
+            weights=arr(s.weights, C * 512, np.float32).reshape(C, 4, 128),
+            route_src=arr(s.route_src, C * 1024, np.int16).reshape(C, 8, 128),
+            padded_nodes=int(s.padded_nodes),
+        )
+    finally:
+        if p:
+            lib.ekl_free_plan_v1(p)
+
+
+def build_plan_v2_native(n, rows, cols, weights) -> dict:
+    """Native v2 (bucket-transpose) plan arrays + overflow-tail COO."""
+    lib = _load()
+    _load_plan_symbols(lib)
+    r, c, w, rp, cp, wp = _coo_args(n, rows, cols, weights)
+    p = lib.ekl_build_plan_v2(n, len(r), rp, cp, wp)
+    try:
+        s = p.contents
+        S1, C2p = int(s.s1), int(s.c2p)
+        def arr(ptr, size, dt):
+            return np.ctypeslib.as_array(ptr, shape=(max(size, 1),))[:size].copy()
+        tail = None
+        if s.tail_nnz:
+            tail = (
+                arr(s.tail_rows, int(s.tail_nnz), np.int32),
+                arr(s.tail_cols, int(s.tail_nnz), np.int32),
+                arr(s.tail_w, int(s.tail_nnz), np.float32),
+            )
+        C1 = S1 // 512
+        return dict(
+            col_local=arr(s.col_local, S1, np.int16).reshape(C1, 4, 128),
+            weights=arr(s.weights, S1, np.float32).reshape(C1, 4, 128),
+            rl_t=arr(s.rl_t, C2p * 512, np.float32).reshape(C2p // 8, 8, 512),
+            rb_of=arr(s.rb_of, C2p, np.int32),
+            tail=tail,
+            padded_nodes=int(s.padded_nodes),
+            n_cb=int(s.n_cb),
+            n_rbp=int(s.n_rbp),
+            quantum=int(s.q),
+            g1=int(s.g1),
+            g2=int(s.g2),
+        )
+    finally:
+        if p:
+            lib.ekl_free_plan_v2(p)

@@ -52,6 +52,15 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _ensure_row_sorted(rows, cols, weights):
+    """The native planners rely on CSR (row-major) entry order for
+    their stable counting sort; sort first for arbitrary COO input."""
+    if rows.shape[0] == 0 or bool((np.diff(rows) >= 0).all()):
+        return rows, cols, weights
+    order = np.lexsort((cols, rows))
+    return rows[order], cols[order], weights[order]
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class SpmvPlan:
@@ -111,13 +120,38 @@ class SpmvPlan:
 
 
 def build_plan(
-    n: int, rows: np.ndarray, cols: np.ndarray, weights: np.ndarray
+    n: int,
+    rows: np.ndarray,
+    cols: np.ndarray,
+    weights: np.ndarray,
+    use_native: bool | None = None,
 ) -> SpmvPlan:
-    """Build the static chunk plan from COO entries (host, NumPy).
+    """Build the static chunk plan from COO entries.
 
-    Fully vectorized: chunk keys are (column stripe, aligned 1024-row
-    window); each key group is split into 512-entry chunks.
+    Native C++ single-pass counting-sort builder when available (the
+    NumPy version costs tens of seconds at millions of nnz on a single
+    core); both produce bit-identical plans.  Chunk keys are (column
+    stripe, aligned 1024-row window); each key group is split into
+    512-entry chunks.
     """
+    if use_native is not False and rows.shape[0] > 0:
+        try:
+            from eig_kl_tpu.io import native_io
+
+            rows, cols, weights = _ensure_row_sorted(rows, cols, weights)
+            d = native_io.build_plan_v1_native(n, rows, cols, weights)
+            return SpmvPlan(
+                cw8=jnp.asarray(d["cw8"]),
+                rw8=jnp.asarray(d["rw8"]),
+                col_local=jnp.asarray(d["col_local"]),
+                row_local=jnp.asarray(d["row_local"]),
+                weights=jnp.asarray(d["weights"]),
+                route_src=jnp.asarray(d["route_src"]),
+                padded_nodes=d["padded_nodes"],
+            )
+        except (ImportError, OSError):
+            if use_native:
+                raise
     P = _round_up(max(n, 1), WINDOW)
     nnz = rows.shape[0]
     if nnz == 0:
@@ -325,12 +359,17 @@ def plan_for_graph(graph: Graph):
     cols = graph.indices.astype(np.int64)
     w = graph.data.astype(np.float32)
     nnz = max(rows.shape[0], 1)
-    P = _round_up(max(n, 1), WINDOW)
-    key = (cols // WINDOW) * (P // WINDOW + 1) + np.minimum(
-        rows // WINDOW, P // WINDOW - 1
-    )
-    _, counts = np.unique(key, return_counts=True)
-    v1_chunks = int(np.ceil(counts / CHUNK).sum())
+    try:
+        from eig_kl_tpu.io import native_io
+
+        v1_chunks = native_io.plan_v1_chunks_native(n, rows, cols)
+    except (ImportError, OSError):
+        P = _round_up(max(n, 1), WINDOW)
+        key = (cols // WINDOW) * (P // WINDOW + 1) + np.minimum(
+            rows // WINDOW, P // WINDOW - 1
+        )
+        _, counts = np.unique(key, return_counts=True)
+        v1_chunks = int(np.ceil(counts / CHUNK).sum())
     if v1_chunks * CHUNK <= 1.7 * nnz:
         return build_plan(n, rows, cols, w)
     return build_plan_v2(n, rows, cols, w)
@@ -411,8 +450,38 @@ class SpmvPlanV2:
 
 
 def build_plan_v2(
-    n: int, rows: np.ndarray, cols: np.ndarray, weights: np.ndarray
+    n: int,
+    rows: np.ndarray,
+    cols: np.ndarray,
+    weights: np.ndarray,
+    use_native: bool | None = None,
 ) -> SpmvPlanV2:
+    if use_native is not False and rows.shape[0] > 0:
+        try:
+            from eig_kl_tpu.io import native_io
+
+            rows, cols, weights = _ensure_row_sorted(rows, cols, weights)
+            d = native_io.build_plan_v2_native(n, rows, cols, weights)
+            tail = None
+            if d["tail"] is not None:
+                tr, tc, tw = d["tail"]
+                tail = build_plan(n, tr, tc, tw, use_native=use_native)
+            return SpmvPlanV2(
+                col_local=jnp.asarray(d["col_local"]),
+                weights=jnp.asarray(d["weights"]),
+                rl_t=jnp.asarray(d["rl_t"]),
+                rb_of=jnp.asarray(d["rb_of"]),
+                tail=tail,
+                padded_nodes=d["padded_nodes"],
+                n_cb=d["n_cb"],
+                n_rbp=d["n_rbp"],
+                quantum=d["quantum"],
+                g1=d["g1"],
+                g2=d["g2"],
+            )
+        except (ImportError, OSError):
+            if use_native:
+                raise
     P = _round_up(max(n, 1), WINDOW)
     nnz = max(rows.shape[0], 1)
     rows = rows.astype(np.int64)

@@ -254,3 +254,246 @@ void ekl_free_csr(EklCsr* c) {
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// ---------------------------------------------------------------------
+// SpMV chunk-plan builders (host planners for the Pallas kernels).
+//
+// The Python planners (eig_kl_tpu/ops/spmv_pallas.py) are a chain of
+// NumPy passes (lexsort / unique / fancy indexing) that cost tens of
+// seconds at 2M+ nnz on this host's single core.  These native
+// builders exploit two facts: (1) entries arrive in CSR order, i.e.
+// already sorted by (row, col), and (2) bucket keys are small dense
+// integers -- so a *stable counting sort* by bucket preserves the
+// required row-order within each bucket and the whole plan fills in
+// O(nnz + buckets) single-threaded passes.
+// ---------------------------------------------------------------------
+
+static const int64_t KW = 1024;   // x-window / column block
+static const int64_t KRB = 512;   // v2 y-window rows
+static const int64_t KCH = 512;   // slots per chunk
+
+static inline int64_t round_up_i64(int64_t x, int64_t m) {
+  return (x + m - 1) / m * m;
+}
+
+typedef struct {
+  // v1 arrays
+  int32_t* cw8;        // [C]
+  int32_t* rw8;        // [C]
+  int16_t* col_local;  // [C*512]
+  int16_t* row_local;  // [C*512]
+  float* weights;      // [C*512]
+  int16_t* route_src;  // [C*1024]
+  int64_t num_chunks;
+  int64_t padded_nodes;
+  int32_t status;
+} EklPlanV1;
+
+typedef struct {
+  int16_t* col_local;  // [S1]
+  float* weights;      // [S1]
+  float* rl_t;         // [C2p*512]
+  int32_t* rb_of;      // [C2p]
+  int64_t s1;
+  int64_t c2p;
+  int64_t q;
+  int64_t n_cb;
+  int64_t n_rbp;
+  int64_t g1;
+  int64_t g2;
+  int64_t padded_nodes;
+  // bucket-overflow tail as COO (handled by a v1 plan on the Python side)
+  int64_t tail_nnz;
+  int32_t* tail_rows;
+  int32_t* tail_cols;
+  float* tail_w;
+  int32_t status;
+} EklPlanV2;
+
+// Number of v1 chunks (for the v1-vs-v2 auto heuristic): sum over
+// (stripe x 1024-row-window) groups of ceil(count/512).
+int64_t ekl_plan_v1_chunks(int64_t n, int64_t nnz, const int32_t* rows,
+                           const int32_t* cols) {
+  int64_t P = round_up_i64(n > 0 ? n : 1, KW);
+  int64_t n_cb = P / KW;
+  int64_t nrw = P / KW;  // aligned 1024-row windows
+  std::vector<int64_t> counts(n_cb * nrw, 0);
+  for (int64_t i = 0; i < nnz; ++i) {
+    int64_t rb = rows[i] / KW;
+    if (rb > P / KW - 1) rb = P / KW - 1;
+    counts[(int64_t)(cols[i] / KW) * nrw + rb]++;
+  }
+  int64_t chunks = 0;
+  for (int64_t c : counts)
+    if (c) chunks += (c + KCH - 1) / KCH;
+  return chunks;
+}
+
+EklPlanV1* ekl_build_plan_v1(int64_t n, int64_t nnz, const int32_t* rows,
+                             const int32_t* cols, const double* w) {
+  EklPlanV1* out = new EklPlanV1();
+  std::memset(out, 0, sizeof(EklPlanV1));
+  int64_t P = round_up_i64(n > 0 ? n : 1, KW);
+  out->padded_nodes = P;
+  int64_t n_cb = P / KW;
+  int64_t nrw = P / KW;
+  int64_t nkeys = n_cb * nrw;
+
+  // Pass 1: counts per (stripe, aligned+clamped row window).
+  std::vector<int64_t> counts(nkeys, 0);
+  std::vector<int64_t> keybuf(nnz);
+  for (int64_t i = 0; i < nnz; ++i) {
+    int64_t rwb = rows[i] / KW * KW;
+    if (rwb > P - KW) rwb = P - KW;
+    int64_t k = (int64_t)(cols[i] / KW) * nrw + rwb / KW;
+    keybuf[i] = k;
+    counts[k]++;
+  }
+  // Chunk layout per key group.
+  std::vector<int64_t> chunk0(nkeys + 1, 0);  // first chunk id of group
+  int64_t C = 0;
+  for (int64_t k = 0; k < nkeys; ++k) {
+    chunk0[k] = C;
+    if (counts[k]) C += (counts[k] + KCH - 1) / KCH;
+  }
+  chunk0[nkeys] = C;
+  out->num_chunks = C;
+  out->cw8 = new int32_t[C];
+  out->rw8 = new int32_t[C];
+  out->col_local = new int16_t[C * KCH]();
+  out->row_local = new int16_t[C * KCH]();
+  out->weights = new float[C * KCH]();
+  out->route_src = new int16_t[C * KW];
+  std::fill(out->route_src, out->route_src + C * KW, (int16_t)-1);
+
+  // Pass 2: stable fill in CSR order (row-sorted within each group).
+  std::vector<int64_t> cursor(nkeys, 0);
+  for (int64_t i = 0; i < nnz; ++i) {
+    int64_t k = keybuf[i];
+    int64_t pos = cursor[k]++;
+    int64_t c = chunk0[k] + pos / KCH;
+    int64_t p = pos % KCH;
+    int64_t stripe = k / nrw;
+    int64_t rwb = (k % nrw) * KW;
+    out->cw8[c] = (int32_t)(stripe * (KW / 128));
+    out->rw8[c] = (int32_t)(rwb / 128);
+    out->col_local[c * KCH + p] = (int16_t)(cols[i] - stripe * KW);
+    out->row_local[c * KCH + p] = (int16_t)(rows[i] - rwb);
+    out->weights[c * KCH + p] = (float)w[i];
+  }
+  // Pass 3: pad row_local beyond each chunk's fill with the last real
+  // value, and mark segment-last positions in the routing map.
+  for (int64_t k = 0; k < nkeys; ++k) {
+    int64_t cnt = counts[k];
+    if (!cnt) continue;
+    int64_t nch = (cnt + KCH - 1) / KCH;
+    for (int64_t j = 0; j < nch; ++j) {
+      int64_t c = chunk0[k] + j;
+      int64_t fill = (j == nch - 1) ? (cnt - j * KCH) : KCH;
+      int16_t last = out->row_local[c * KCH + fill - 1];
+      for (int64_t p = fill; p < KCH; ++p)
+        out->row_local[c * KCH + p] = last;
+      for (int64_t p = 0; p < KCH; ++p) {
+        int16_t rl = out->row_local[c * KCH + p];
+        if (p == KCH - 1 || out->row_local[c * KCH + p + 1] != rl)
+          out->route_src[c * KW + rl] = (int16_t)p;
+      }
+    }
+  }
+  return out;
+}
+
+EklPlanV2* ekl_build_plan_v2(int64_t n, int64_t nnz, const int32_t* rows,
+                             const int32_t* cols, const double* w) {
+  EklPlanV2* out = new EklPlanV2();
+  std::memset(out, 0, sizeof(EklPlanV2));
+  int64_t P = round_up_i64(n > 0 ? n : 1, KW);
+  out->padded_nodes = P;
+  int64_t n_cb = P / KW;
+  int64_t n_rb = P / KRB;
+  double lam = nnz > 0 ? (double)nnz / (double)(n_cb * n_rb) : 1.0;
+  if (lam < 1.0) lam = 1.0;
+  int64_t Q = 4;
+  while (Q < 512 && (double)Q < lam * 1.5) Q *= 2;
+  int64_t per = KCH / Q > 0 ? KCH / Q : 1;
+  int64_t n_rbp = round_up_i64(n_rb, per);
+  int64_t g1 = n_rbp * Q;
+  int64_t g2 = round_up_i64(n_cb * Q, KCH);
+  int64_t S1 = n_cb * g1;
+  int64_t C2 = n_rbp * g2 / KCH;
+  int64_t C2p = round_up_i64(C2, 8);
+  out->q = Q;
+  out->n_cb = n_cb;
+  out->n_rbp = n_rbp;
+  out->g1 = g1;
+  out->g2 = g2;
+  out->s1 = S1;
+  out->c2p = C2p;
+
+  out->col_local = new int16_t[S1]();
+  out->weights = new float[S1]();
+  out->rl_t = new float[C2p * KCH];
+  std::fill(out->rl_t, out->rl_t + C2p * KCH, -1.0f);
+  out->rb_of = new int32_t[C2p]();
+  for (int64_t c = 0; c < C2; ++c)
+    out->rb_of[c] = (int32_t)(c / (g2 / KCH));
+
+  // Bucket ranks in one stable pass over CSR order (row-sorted within
+  // each bucket by construction).
+  std::vector<int32_t> rank(n_cb * n_rb, 0);
+  std::vector<int32_t> trow, tcol;
+  std::vector<float> tw;
+  for (int64_t i = 0; i < nnz; ++i) {
+    int64_t cb = cols[i] / KW;
+    int64_t rb = rows[i] / KRB;
+    int32_t r = rank[cb * n_rb + rb]++;
+    if (r < Q) {
+      int64_t slot = cb * g1 + rb * Q + r;
+      out->col_local[slot] = (int16_t)(cols[i] - cb * KW);
+      out->weights[slot] = (float)w[i];
+      // transposed pass-2 position: (rb, cb*Q + r) with row stride g2
+      out->rl_t[rb * g2 + cb * Q + r] = (float)(rows[i] - rb * KRB);
+    } else {
+      trow.push_back(rows[i]);
+      tcol.push_back(cols[i]);
+      tw.push_back((float)w[i]);
+    }
+  }
+  out->tail_nnz = (int64_t)trow.size();
+  if (out->tail_nnz) {
+    out->tail_rows = new int32_t[out->tail_nnz];
+    out->tail_cols = new int32_t[out->tail_nnz];
+    out->tail_w = new float[out->tail_nnz];
+    std::memcpy(out->tail_rows, trow.data(), trow.size() * 4);
+    std::memcpy(out->tail_cols, tcol.data(), tcol.size() * 4);
+    std::memcpy(out->tail_w, tw.data(), tw.size() * 4);
+  }
+  return out;
+}
+
+void ekl_free_plan_v1(EklPlanV1* p) {
+  if (!p) return;
+  delete[] p->cw8;
+  delete[] p->rw8;
+  delete[] p->col_local;
+  delete[] p->row_local;
+  delete[] p->weights;
+  delete[] p->route_src;
+  delete p;
+}
+
+void ekl_free_plan_v2(EklPlanV2* p) {
+  if (!p) return;
+  delete[] p->col_local;
+  delete[] p->weights;
+  delete[] p->rl_t;
+  delete[] p->rb_of;
+  delete[] p->tail_rows;
+  delete[] p->tail_cols;
+  delete[] p->tail_w;
+  delete p;
+}
+
+}  // extern "C"

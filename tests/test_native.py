@@ -4,6 +4,40 @@ builder must agree exactly with the NumPy implementations."""
 import numpy as np
 import pytest
 
+import jax
+
+
+def test_native_plan_builders_match_numpy(rng):
+    """The C++ counting-sort planners must produce bit-identical plans
+    to the NumPy reference implementations (both v1 and v2)."""
+    from eig_kl_tpu.io import native_io
+    from eig_kl_tpu.io.hgr import Hypergraph
+    from eig_kl_tpu.graph.expand import clique_expand
+    from eig_kl_tpu.ops import spmv_pallas as SP
+
+    if not native_io.available():
+        pytest.skip("native library unavailable")
+    sizes = rng.integers(2, 7, size=800)
+    pins = np.concatenate(
+        [rng.choice(2500, size=k, replace=False) for k in sizes]
+    ).astype(np.int32)
+    offs = np.zeros(801, dtype=np.int64)
+    np.cumsum(sizes, out=offs[1:])
+    hg = Hypergraph(num_nodes=2500, num_nets=800, pins=pins, net_offsets=offs)
+    g = clique_expand(hg, "kl", use_native=False)
+    n = g.num_nodes
+    rows = np.repeat(np.arange(n, dtype=np.int64), g.degrees)
+    cols = g.indices.astype(np.int64)
+    w = g.data.astype(np.float32)
+
+    for build in (SP.build_plan, SP.build_plan_v2):
+        nat = build(n, rows, cols, w, use_native=True)
+        ref = build(n, rows, cols, w, use_native=False)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(nat), jax.tree_util.tree_leaves(ref)
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
 from eig_kl_tpu.graph.expand import clique_expand
 from eig_kl_tpu.io.hgr import read_hgr, write_hgr
 

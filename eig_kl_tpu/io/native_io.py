@@ -163,7 +163,7 @@ class _EklPlanV2(ctypes.Structure):
     _fields_ = [
         ("col_local", ctypes.POINTER(ctypes.c_int16)),
         ("weights", ctypes.POINTER(ctypes.c_float)),
-        ("rl_t", ctypes.POINTER(ctypes.c_float)),
+        ("rl_t", ctypes.POINTER(ctypes.c_int16)),
         ("rb_of", ctypes.POINTER(ctypes.c_int32)),
         ("s1", ctypes.c_int64),
         ("c2p", ctypes.c_int64),
@@ -266,7 +266,7 @@ def build_plan_v2_native(n, rows, cols, weights) -> dict:
         return dict(
             col_local=arr(s.col_local, S1, np.int16).reshape(C1, 4, 128),
             weights=arr(s.weights, S1, np.float32).reshape(C1, 4, 128),
-            rl_t=arr(s.rl_t, C2p * 512, np.float32).reshape(C2p // 8, 8, 512),
+            rl_t=arr(s.rl_t, C2p * 512, np.int16).reshape(C2p // 8, 8, 512),
             rb_of=arr(s.rb_of, C2p, np.int32),
             tail=tail,
             padded_nodes=int(s.padded_nodes),

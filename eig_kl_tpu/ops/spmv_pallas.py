@@ -38,6 +38,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -317,6 +318,34 @@ def _spmv_call(plan: SpmvPlan, x2d: jnp.ndarray, *, interpret: bool = False):
     )
 
 
+def spmv_pallas_2d(
+    plan, x2d: jnp.ndarray, *, interpret: bool | None = None
+) -> jnp.ndarray:
+    """``A @ x`` on already-padded (P/128, 128) f32 state -- the no-copy
+    form for device-resident iteration loops (the padding region must be
+    zero; the result's padding region is zero)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if isinstance(plan, SpmvPlanV2):
+        y = _spmv_v2_call(
+            plan.col_local,
+            plan.weights,
+            plan.rl_t,
+            plan.rb_of,
+            x2d,
+            n_cb=plan.n_cb,
+            n_rbp=plan.n_rbp,
+            quantum=plan.quantum,
+            g1=plan.g1,
+            g2=plan.g2,
+            interpret=interpret,
+        )
+        if plan.tail is not None:
+            y = y + _spmv_call(plan.tail, x2d, interpret=interpret)
+        return y
+    return _spmv_call(plan, x2d, interpret=interpret)
+
+
 def spmv_pallas(
     plan, x: jnp.ndarray, *, interpret: bool | None = None
 ) -> jnp.ndarray:
@@ -521,21 +550,21 @@ def build_plan_v2(
     g1 = n_rbp * Q
     slot = cb_m * g1 + rb_m * Q + rank_m
     S1 = n_cb * g1
-    col_local = np.zeros(S1, np.int16)
-    w_arr = np.zeros(S1, np.float32)
+    C1 = _round_up(S1 // CHUNK, GB1)
+    col_local = np.zeros(C1 * CHUNK, np.int16)
+    w_arr = np.zeros(C1 * CHUNK, np.float32)
     col_local[slot] = cols_m - cb_m * WINDOW
     w_arr[slot] = w_m
-    C1 = S1 // CHUNK
 
     # Pass-2 transposed slot grid: (n_rbp, n_cb, Q) padded to g2 lanes.
     g2 = _round_up(n_cb * Q, CHUNK)
-    rl_grid = np.full((n_cb, n_rbp, Q), -1.0, np.float32)
-    rl_grid.reshape(-1)[slot] = (rows_m - rb_m * RBLOCK).astype(np.float32)
-    rl_t = np.full((n_rbp, g2), -1.0, np.float32)
+    rl_grid = np.full((n_cb, n_rbp, Q), -1, np.int16)
+    rl_grid.reshape(-1)[slot] = (rows_m - rb_m * RBLOCK).astype(np.int16)
+    rl_t = np.full((n_rbp, g2), -1, np.int16)
     rl_t[:, : n_cb * Q] = rl_grid.transpose(1, 0, 2).reshape(n_rbp, n_cb * Q)
     C2 = n_rbp * g2 // CHUNK
-    C2p = _round_up(C2, 8)
-    rl_t2 = np.full((C2p, CHUNK), -1.0, np.float32)
+    C2p = _round_up(C2, 8 * GB2)
+    rl_t2 = np.full((C2p, CHUNK), -1, np.int16)
     rl_t2[:C2] = rl_t.reshape(C2, CHUNK)
     rb_of = np.zeros(C2p, np.int32)
     rb_of[:C2] = np.arange(C2) // (g2 // CHUNK)
@@ -555,20 +584,33 @@ def build_plan_v2(
     )
 
 
+GB1 = 32  # pass-1 chunks per grid step
+GB2 = 8   # pass-2 8-chunk blocks per grid step
+
+
 def _gather_kernel(x_ref, cl_ref, w_ref, e_ref, *, chunks_per_cb: int):
-    c = pl.program_id(0)
-    cw8 = (c // chunks_per_cb) * (WINDOW // 128)
-    X = x_ref[pl.ds(cw8, 8), :]
-    cl = cl_ref[0].astype(jnp.int32)
-    q = cl >> 7
-    l = cl & 127
-    g = jnp.zeros((4, 128), jnp.float32)
-    for qq in range(8):
-        cand = jnp.take_along_axis(
-            jnp.broadcast_to(X[qq : qq + 1, :], (4, 128)), l, axis=1
-        )
-        g = g + jnp.where(q == qq, cand, 0.0)
-    e_ref[0] = g * w_ref[0]
+    c0 = pl.program_id(0) * GB1
+    R = x_ref.shape[0]
+
+    def body(j, _):
+        c = c0 + j
+        # Clamp for grid-padding chunks past the last column block
+        # (their weights are 0, so the window contents are irrelevant).
+        cw8 = jnp.minimum((c // chunks_per_cb) * (WINDOW // 128), R - 8)
+        X = x_ref[pl.ds(cw8, 8), :]
+        cl = cl_ref[pl.ds(j, 1)][0].astype(jnp.int32)
+        q = cl >> 7
+        l = cl & 127
+        g = jnp.zeros((4, 128), jnp.float32)
+        for qq in range(8):
+            cand = jnp.take_along_axis(
+                jnp.broadcast_to(X[qq : qq + 1, :], (4, 128)), l, axis=1
+            )
+            g = g + jnp.where(q == qq, cand, 0.0)
+        e_ref[pl.ds(j, 1)] = (g * w_ref[pl.ds(j, 1)][0])[None]
+        return 0
+
+    lax.fori_loop(0, GB1, body, 0)
 
 
 def _reduce_kernel(rb_ref, e_ref, rl_ref, y_ref, *, ry: int):
@@ -578,20 +620,23 @@ def _reduce_kernel(rb_ref, e_ref, rl_ref, y_ref, *, ry: int):
     def _():
         y_ref[:] = jnp.zeros_like(y_ref)
 
-    eT = jnp.transpose(e_ref[0])    # (8,512) -> (512,8)
-    rlT = jnp.transpose(rl_ref[0])
-    iota = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 128), 1).astype(
-        jnp.float32
-    )
-    for j in range(8):
-        e_col = eT[:, j : j + 1]
-        rl_col = rlT[:, j : j + 1]
-        rb = rb_ref[c * 8 + j]
-        for h in range(RBLOCK // 128):
-            oh = (rl_col == iota + 128.0 * h).astype(jnp.float32)
-            part = jnp.sum(oh * e_col, axis=0, keepdims=True)
-            base = rb * (RBLOCK // 128) + h
-            y_ref[pl.ds(base, 1), :] += part
+    iota = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 128), 1)
+
+    def body(b, _):
+        eT = jnp.transpose(e_ref[pl.ds(b, 1)][0])    # (8,512) -> (512,8)
+        rlT = jnp.transpose(rl_ref[pl.ds(b, 1)][0].astype(jnp.int32))
+        for j in range(8):
+            e_col = eT[:, j : j + 1]
+            rl_col = rlT[:, j : j + 1]
+            rb = rb_ref[(c * GB2 + b) * 8 + j]
+            for h in range(RBLOCK // 128):
+                oh = (rl_col == iota + 128 * h).astype(jnp.float32)
+                part = jnp.sum(oh * e_col, axis=0, keepdims=True)
+                base = rb * (RBLOCK // 128) + h
+                y_ref[pl.ds(base, 1), :] += part
+        return 0
+
+    lax.fori_loop(0, GB2, body, 0)
 
 
 @functools.partial(
@@ -621,19 +666,21 @@ def _spmv_v2_call(
     e1 = pl.pallas_call(
         functools.partial(_gather_kernel, chunks_per_cb=g1 // CHUNK),
         out_shape=jax.ShapeDtypeStruct((C1, 4, 128), jnp.float32),
-        grid=(C1,),
+        grid=(C1 // GB1,),
         in_specs=[
             pl.BlockSpec((R, 128), lambda c: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 4, 128), lambda c: (c, 0, 0)),
-            pl.BlockSpec((1, 4, 128), lambda c: (c, 0, 0)),
+            pl.BlockSpec((GB1, 4, 128), lambda c: (c, 0, 0)),
+            pl.BlockSpec((GB1, 4, 128), lambda c: (c, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, 4, 128), lambda c: (c, 0, 0)),
+        out_specs=pl.BlockSpec((GB1, 4, 128), lambda c: (c, 0, 0)),
         interpret=interpret,
     )(x2d, col_local, weights)
 
     # Dense bucket transpose: (cb, rbp, Q) -> (rbp, cb*Q), pad to g2.
+    S1 = n_cb * g1
     et = (
-        e1.reshape(n_cb, n_rbp, Q)
+        e1.reshape(-1)[:S1]
+        .reshape(n_cb, n_rbp, Q)
         .transpose(1, 0, 2)
         .reshape(n_rbp, n_cb * Q)
     )
@@ -648,10 +695,10 @@ def _spmv_v2_call(
         out_shape=jax.ShapeDtypeStruct((ry, 128), jnp.float32),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(C2g,),
+            grid=(C2g // GB2,),
             in_specs=[
-                pl.BlockSpec((1, 8, CHUNK), lambda c, *_: (c, 0, 0)),
-                pl.BlockSpec((1, 8, CHUNK), lambda c, *_: (c, 0, 0)),
+                pl.BlockSpec((GB2, 8, CHUNK), lambda c, *_: (c, 0, 0)),
+                pl.BlockSpec((GB2, 8, CHUNK), lambda c, *_: (c, 0, 0)),
             ],
             out_specs=pl.BlockSpec(
                 (ry, 128), lambda c, *_: (0, 0), memory_space=pltpu.VMEM

@@ -74,9 +74,41 @@ def _power_core(g, shift, tolerance, min_iters, max_iters, seed, dtype):
     inv_shift = 1.0 / shift
     safe_deg = jnp.where(g.degrees > 0, g.degrees, 1.0).astype(dtype)
 
+    # With a chunk plan and f32 state, iterate on zero-padded (P/128,
+    # 128) state so the hot loop has no per-iteration pad/unpad passes.
+    padded = g.plan is not None and dtype == jnp.float32
+    if padded:
+        from eig_kl_tpu.ops.spmv_pallas import spmv_pallas_2d
+
+        P = g.plan.padded_nodes
+        pad_deg = jnp.ones(P, dtype).at[:n].set(safe_deg).reshape(P // 128, 128)
+
+        def matvec(x2d):
+            return spmv_pallas_2d(g.plan, x2d)
+
+        def to_state(x):
+            return jnp.zeros(P, dtype).at[:n].set(x).reshape(P // 128, 128)
+
+        def from_state(x2d):
+            return x2d.reshape(-1)[:n]
+
+        deg_used = pad_deg
+    else:
+
+        def matvec(x):
+            return spmv(g, x.astype(g.ell_weights.dtype)).astype(dtype)
+
+        def to_state(x):
+            return x
+
+        def from_state(x):
+            return x
+
+        deg_used = safe_deg
+
     def norm_lap(x):
         # L x with L = 2 I - 2 D^-1 A  (row-normalized, gKL2.cu:262-303).
-        return 2.0 * x - 2.0 * spmv(g, x.astype(g.ell_weights.dtype)).astype(dtype) / safe_deg
+        return 2.0 * x - 2.0 * matvec(x) / deg_used
 
     def step(x):
         y = x - inv_shift * norm_lap(x)  # gKL2.cu:65-89 sparseMVKernel
@@ -85,7 +117,7 @@ def _power_core(g, shift, tolerance, min_iters, max_iters, seed, dtype):
         return jnp.where(safe, y / jnp.where(safe, nrm, 1.0), y), nrm
 
     key = jax.random.PRNGKey(seed)  # srand(42) analog, gKL2.cu:322
-    x0 = jax.random.uniform(key, (n,), dtype=dtype) - 0.5
+    x0 = to_state(jax.random.uniform(key, (n,), dtype=dtype) - 0.5)
     x0, n0 = step(x0)
 
     def cond(st: _PowerState):
@@ -106,5 +138,6 @@ def _power_core(g, shift, tolerance, min_iters, max_iters, seed, dtype):
     )
     final = jax.lax.while_loop(cond, body, init)
     v = final.x
-    lam = v @ norm_lap(v)  # Rayleigh quotient on the normalized Laplacian
-    return lam, v
+    # Rayleigh quotient on the normalized Laplacian.
+    lam = jnp.vdot(v, norm_lap(v))
+    return lam, from_state(v)

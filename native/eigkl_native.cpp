@@ -294,7 +294,7 @@ typedef struct {
 typedef struct {
   int16_t* col_local;  // [S1]
   float* weights;      // [S1]
-  float* rl_t;         // [C2p*512]
+  int16_t* rl_t;       // [C2p*512]
   int32_t* rb_of;      // [C2p]
   int64_t s1;
   int64_t c2p;
@@ -421,9 +421,10 @@ EklPlanV2* ekl_build_plan_v2(int64_t n, int64_t nnz, const int32_t* rows,
   int64_t n_rbp = round_up_i64(n_rb, per);
   int64_t g1 = n_rbp * Q;
   int64_t g2 = round_up_i64(n_cb * Q, KCH);
-  int64_t S1 = n_cb * g1;
+  // Pad the pass-1 chunk count to the grid batch (8 chunks per step).
+  int64_t S1 = round_up_i64(n_cb * g1, KCH * 32);  // GB1=32 grid batch
   int64_t C2 = n_rbp * g2 / KCH;
-  int64_t C2p = round_up_i64(C2, 8);
+  int64_t C2p = round_up_i64(C2, 64);  // 8 sub-chunks x GB2=8 grid batch
   out->q = Q;
   out->n_cb = n_cb;
   out->n_rbp = n_rbp;
@@ -434,8 +435,8 @@ EklPlanV2* ekl_build_plan_v2(int64_t n, int64_t nnz, const int32_t* rows,
 
   out->col_local = new int16_t[S1]();
   out->weights = new float[S1]();
-  out->rl_t = new float[C2p * KCH];
-  std::fill(out->rl_t, out->rl_t + C2p * KCH, -1.0f);
+  out->rl_t = new int16_t[C2p * KCH];
+  std::fill(out->rl_t, out->rl_t + C2p * KCH, (int16_t)-1);
   out->rb_of = new int32_t[C2p]();
   for (int64_t c = 0; c < C2; ++c)
     out->rb_of[c] = (int32_t)(c / (g2 / KCH));
@@ -454,7 +455,7 @@ EklPlanV2* ekl_build_plan_v2(int64_t n, int64_t nnz, const int32_t* rows,
       out->col_local[slot] = (int16_t)(cols[i] - cb * KW);
       out->weights[slot] = (float)w[i];
       // transposed pass-2 position: (rb, cb*Q + r) with row stride g2
-      out->rl_t[rb * g2 + cb * Q + r] = (float)(rows[i] - rb * KRB);
+      out->rl_t[rb * g2 + cb * Q + r] = (int16_t)(rows[i] - rb * KRB);
     } else {
       trow.push_back(rows[i]);
       tcol.push_back(cols[i]);

@@ -279,3 +279,29 @@ def build_plan_v2_native(n, rows, cols, weights) -> dict:
     finally:
         if p:
             lib.ekl_free_plan_v2(p)
+
+
+def benes_route_native(N: int, dest: np.ndarray) -> np.ndarray:
+    """Benes switch bits for out[dest[j]] = in[j]; (2*log2(N)-1, N/32)
+    uint32, flat little-endian bit packing."""
+    lib = _load()
+    if not getattr(lib, "_benes_symbols", False):
+        lib.ekl_benes_route.restype = ctypes.c_int32
+        lib.ekl_benes_route.argtypes = [
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_uint32),
+        ]
+        lib._benes_symbols = True
+    m = N.bit_length() - 1
+    assert (1 << m) == N and N >= 32
+    masks = np.zeros((2 * m - 1, N // 32), np.uint32)
+    d = np.ascontiguousarray(dest, dtype=np.int32)
+    st = lib.ekl_benes_route(
+        N,
+        d.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        masks.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+    )
+    if st != 0:
+        raise OSError(f"benes route failed (status {st})")
+    return masks

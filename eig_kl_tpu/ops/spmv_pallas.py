@@ -326,6 +326,19 @@ def spmv_pallas_2d(
     zero; the result's padding region is zero)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if isinstance(plan, SpmvPlanV3):
+        return _spmv_v3_call(
+            plan.cw8,
+            plan.col_local,
+            plan.weights,
+            plan.masks,
+            plan.rw8,
+            plan.row_local,
+            plan.route_src,
+            x2d,
+            n_pad=plan.padded_nnz,
+            interpret=interpret,
+        )
     if isinstance(plan, SpmvPlanV2):
         y = _spmv_v2_call(
             plan.col_local,
@@ -358,6 +371,19 @@ def spmv_pallas(
     x2d = (
         jnp.zeros(P, jnp.float32).at[:n].set(x.astype(jnp.float32)).reshape(P // 128, 128)
     )
+    if isinstance(plan, SpmvPlanV3):
+        return _spmv_v3_call(
+            plan.cw8,
+            plan.col_local,
+            plan.weights,
+            plan.masks,
+            plan.rw8,
+            plan.row_local,
+            plan.route_src,
+            x2d,
+            n_pad=plan.padded_nnz,
+            interpret=interpret,
+        ).reshape(-1)[:n]
     if isinstance(plan, SpmvPlanV2):
         y = _spmv_v2_call(
             plan.col_local,
@@ -401,6 +427,10 @@ def plan_for_graph(graph: Graph):
         v1_chunks = int(np.ceil(counts / CHUNK).sum())
     if v1_chunks * CHUNK <= 1.7 * nnz:
         return build_plan(n, rows, cols, w)
+    # v3 (Benes permutation, build_plan_v3) is correct and available but
+    # measured slower than v2 at 1M+ nnz: its 2*log2(N)-1 exchange
+    # stages are VMEM-bandwidth-bound (~40 MB of moves per stage), so
+    # the dense bucket transpose wins despite its slot padding.
     return build_plan_v2(n, rows, cols, w)
 
 
@@ -707,3 +737,404 @@ def _spmv_v2_call(
         interpret=interpret,
     )(rb_of, et, rl_t)
     return y[:R]
+
+
+# ---------------------------------------------------------------------------
+# v3: Benes-permutation SpMV.
+#
+# v2 pays the irreducible column->row regroup as a padded dense transpose
+# (2-4x slot padding, ~45 MB of per-matvec HBM streams).  v3 pays it as a
+# Benes exchange network: nnz values, padded to N = 2^k, flow through
+# 2*log2(N)-1 stages of (roll + select) with host-precomputed switch bits
+# -- everything stays in VMEM at vector speed, and both the gather side
+# (column-sorted) and the reduce side (row-sorted) get always-dense
+# 512-entry chunks with private windows.  Requires N <= 2^21 so the value
+# array fits VMEM; plan_for_graph falls back to v2 beyond that.
+# ---------------------------------------------------------------------------
+
+BENES_MAX = 1 << 21   # max padded nnz for the all-VMEM value array (8 MB)
+GB3 = 16              # v3 gather/reduce chunks per grid step
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class SpmvPlanV3:
+    """Benes-permutation plan (JAX pytree, static geometry in aux).
+
+    Attributes:
+      cw8: int32[C] per-gather-chunk x-window start ((*,128)-row units).
+      col_local: int16[C,4,128] column offsets in-window, col-sorted.
+      weights: f32[C,4,128] weights in col-sorted order (0 = padding).
+      masks: int32[stages, N/4096, 128] Benes switch bits, bit b of
+        masks[s, rq, l] = switch at position ((32*rq+b)*128 + l).
+      rw8: int32[C] per-reduce-chunk y-window start.
+      row_local: int16[C,4,128] row offsets in-window, row-sorted.
+      route_src: int16[C,8,128] v1-style segment-last routing.
+      padded_nodes / padded_nnz: static sizes.
+    """
+
+    cw8: jnp.ndarray
+    col_local: jnp.ndarray
+    weights: jnp.ndarray
+    masks: jnp.ndarray
+    rw8: jnp.ndarray
+    row_local: jnp.ndarray
+    route_src: jnp.ndarray
+    padded_nodes: int
+    padded_nnz: int
+
+    def tree_flatten(self):
+        return (
+            (
+                self.cw8,
+                self.col_local,
+                self.weights,
+                self.masks,
+                self.rw8,
+                self.row_local,
+                self.route_src,
+            ),
+            (self.padded_nodes, self.padded_nnz),
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+
+def _benes_masks(dest: np.ndarray) -> np.ndarray:
+    """Switch bits for out[dest[j]] = in[j] via the native router,
+    repacked so bit b of masks[s, rq, l] governs position
+    (32*rq + b)*128 + l (one pltpu.repeat + shift unpacks a stage)."""
+    from eig_kl_tpu.io import native_io
+
+    N = dest.shape[0]
+    m = N.bit_length() - 1
+    flat = native_io.benes_route_native(N, dest)   # (stages, N/32) uint32
+    stages = flat.shape[0]
+    bits = np.unpackbits(
+        flat.view(np.uint8), bitorder="little"
+    ).reshape(stages, N)
+    # pltpu.repeat TILES (abab), so bit b of masks[s, rq, l] governs
+    # position (b * N/4096 + rq) * 128 + l.
+    b2 = bits.reshape(stages, 32, N // 4096, 128).astype(np.uint32)
+    packed = (b2 << np.arange(32, dtype=np.uint32)[None, :, None, None]).sum(
+        axis=1, dtype=np.uint32
+    )
+    return packed.view(np.int32)
+
+
+def build_plan_v3(
+    n: int, rows: np.ndarray, cols: np.ndarray, weights: np.ndarray
+) -> SpmvPlanV3:
+    P = _round_up(max(n, 1), WINDOW)
+    nnz = rows.shape[0]
+    if nnz == 0:
+        rows = np.zeros(1, np.int64)
+        cols = np.zeros(1, np.int64)
+        weights = np.zeros(1, np.float32)
+        nnz = 1
+    rows, cols, weights = _ensure_row_sorted(
+        rows.astype(np.int64), cols.astype(np.int64), weights
+    )
+
+    # Gather side: entries grouped by column stripe (1024 columns), each
+    # group padded to whole 512-slot chunks -- every chunk's columns fit
+    # one 1024-wide window, at ~#stripes*256 padding slots.
+    order = np.argsort(cols, kind="stable")
+    cs_col = cols[order]
+    stripe = cs_col // WINDOW
+    uniq, s_start, s_cnt = np.unique(
+        stripe, return_index=True, return_counts=True
+    )
+    chunks_per = (s_cnt + CHUNK - 1) // CHUNK
+    g_chunk0 = np.concatenate([[0], np.cumsum(chunks_per)])
+    Cg = int(g_chunk0[-1])
+    n_slots = Cg * CHUNK
+    # min 8192 so the chunk count divides the GB3 grid batch
+    N = 1 << max(int(max(n_slots, nnz) - 1).bit_length(), 13)
+    if N > BENES_MAX:
+        raise ValueError(f"padded nnz {N} exceeds BENES_MAX {BENES_MAX}")
+    C = N // CHUNK
+
+    # Slot of each col-sorted entry: its stripe's chunk range, packed.
+    in_grp = np.arange(nnz) - np.repeat(s_start, s_cnt)
+    gslot = (np.repeat(g_chunk0[:-1], s_cnt) * CHUNK + in_grp).astype(
+        np.int64
+    )
+    cw_base = np.zeros(C, np.int64)
+    cw_base[: Cg] = np.repeat(uniq * WINDOW, chunks_per)
+    cl = np.zeros(N, np.int16)
+    w_arr = np.zeros(N, np.float32)
+    cl[gslot] = cs_col - cw_base[gslot // CHUNK]
+    w_arr[gslot] = weights.astype(np.float32)[order]
+
+    # Permutation: gather slot gslot[j] holds CSR entry order[j] and
+    # must land at row-sorted (= CSR) slot order[j]; padding slots map
+    # bijectively onto the unused row-side slots.
+    dest = np.full(N, -1, np.int32)
+    dest[gslot] = order.astype(np.int32)
+    free_slots = np.flatnonzero(dest == -1)
+    dest[free_slots] = np.arange(nnz, N, dtype=np.int32)
+    masks = _benes_masks(dest)
+    for_c = np.arange(nnz) // CHUNK
+    starts = np.arange(C) * CHUNK
+    valid_chunks = starts < nnz
+
+    # Reduce side: CSR order is row-sorted; windows per 512-chunk.
+    rw_base = np.zeros(C, np.int64)
+    rw_base[valid_chunks] = np.minimum(
+        (rows[starts[valid_chunks]] // 128) * 128, P - WINDOW
+    )
+    rw_base[~valid_chunks] = rw_base[valid_chunks][-1] if valid_chunks.any() else 0
+    rl = np.zeros((C, CHUNK), np.int16)
+    rl[:] = np.concatenate(
+        [
+            (rows - rw_base[for_c]).astype(np.int16),
+            np.zeros(N - nnz, np.int16),
+        ]
+    ).reshape(C, CHUNK)
+    # Padding slots continue the last real segment.
+    if nnz % CHUNK or nnz < N:
+        last_c = (nnz - 1) // CHUNK
+        fill = nnz - last_c * CHUNK
+        rl[last_c, fill:] = rl[last_c, fill - 1]
+        rl[last_c + 1 :, :] = 0
+    # Segment-last routing per chunk (same construction as v1).
+    is_last = np.empty((C, CHUNK), dtype=bool)
+    is_last[:, -1] = True
+    np.not_equal(rl[:, 1:], rl[:, :-1], out=is_last[:, :-1])
+    c_idx, p_idx = np.nonzero(is_last)
+    r_idx = rl[c_idx, p_idx].astype(np.int64)
+    route_src = np.full((C, WINDOW), -1, np.int16)
+    route_src[c_idx, r_idx] = p_idx
+    # Empty pad chunks route nothing (they'd add 0 anyway, but skip).
+    route_src[~valid_chunks] = -1
+
+    return SpmvPlanV3(
+        cw8=jnp.asarray((cw_base // 128).astype(np.int32)),
+        col_local=jnp.asarray(cl.reshape(C, 4, 128)),
+        weights=jnp.asarray(w_arr.reshape(C, 4, 128)),
+        masks=jnp.asarray(masks),
+        rw8=jnp.asarray((rw_base // 128).astype(np.int32)),
+        row_local=jnp.asarray(rl.reshape(C, 4, 128)),
+        route_src=jnp.asarray(route_src.reshape(C, 8, 128)),
+        padded_nodes=P,
+        padded_nnz=N,
+    )
+
+
+def _gather_v3_kernel(cw_ref, x_ref, cl_ref, w_ref, e_ref):
+    c0 = pl.program_id(0) * GB3
+
+    def body(j, _):
+        X = x_ref[pl.ds(cw_ref[c0 + j], 8), :]
+        cl = cl_ref[pl.ds(j, 1)][0].astype(jnp.int32)
+        q = cl >> 7
+        l = cl & 127
+        g = jnp.zeros((4, 128), jnp.float32)
+        for qq in range(8):
+            cand = jnp.take_along_axis(
+                jnp.broadcast_to(X[qq : qq + 1, :], (4, 128)), l, axis=1
+            )
+            g = g + jnp.where(q == qq, cand, 0.0)
+        e_ref[pl.ds(j * 4, 4), :] = g * w_ref[pl.ds(j, 1)][0]
+        return 0
+
+    lax.fori_loop(0, GB3, body, 0)
+
+
+def _benes_kernel(masks_hbm, e0_ref, e_ref, mbuf, sems, *, n_pad: int):
+    """Apply all Benes stages in one kernel; e stays in VMEM (aliased
+    with the input), switch bits are double-buffer DMA'd per stage, and
+    each stage processes row blocks so the working set stays ~6 MB
+    regardless of N."""
+    Rn = n_pad // 128
+    rn32 = Rn // 32
+    B = min(Rn, 2048)          # rows per processing block
+    nblk = Rn // B
+    m = n_pad.bit_length() - 1
+    dists = [n_pad >> (l + 1) for l in range(m)] + [
+        2 << l for l in range(m - 1)
+    ]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (B, 128), 1)
+    rowi = jax.lax.broadcasted_iota(jnp.int32, (B, 128), 0)
+
+    e_ref[:] = e0_ref[:]
+
+    def bits_for_block(m32, b):
+        # Host packing: row r <-> word row (r mod Rn/32), bit (r div
+        # Rn/32); pltpu.repeat tiles, so block rows b*B+i unpack as:
+        rep = pltpu.repeat(m32, B // rn32, axis=0)        # (B,128)
+        shift = (B // rn32) * b + rowi // rn32
+        return (rep >> shift) & 1
+
+    cp0 = pltpu.make_async_copy(masks_hbm.at[0], mbuf.at[0], sems.at[0])
+    cp0.start()
+    for s_i, d in enumerate(dists):
+        pltpu.make_async_copy(
+            masks_hbm.at[s_i], mbuf.at[s_i % 2], sems.at[s_i % 2]
+        ).wait()
+        if s_i + 1 < len(dists):
+            pltpu.make_async_copy(
+                masks_hbm.at[s_i + 1],
+                mbuf.at[(s_i + 1) % 2],
+                sems.at[(s_i + 1) % 2],
+            ).start()
+        m32 = mbuf[s_i % 2]
+        D = d // 128
+
+        if d < 128:
+
+            def body_lane(b, _, d=d):
+                xb = e_ref[pl.ds(b * B, B), :]
+                bits = bits_for_block(m32, b)
+                down = pltpu.roll(xb, 128 - d, axis=1)
+                up = pltpu.roll(xb, d, axis=1)
+                alt = jnp.where((lane & d) == 0, down, up)
+                e_ref[pl.ds(b * B, B), :] = jnp.where(bits == 1, alt, xb)
+                return 0
+
+            lax.fori_loop(0, nblk, body_lane, 0)
+        elif D < B:
+
+            def body_row(b, _, D=D):
+                xb = e_ref[pl.ds(b * B, B), :]
+                bits = bits_for_block(m32, b)
+                down = pltpu.roll(xb, B - D, axis=0)
+                up = pltpu.roll(xb, D, axis=0)
+                alt = jnp.where((rowi & D) == 0, down, up)
+                e_ref[pl.ds(b * B, B), :] = jnp.where(bits == 1, alt, xb)
+                return 0
+
+            lax.fori_loop(0, nblk, body_row, 0)
+        else:
+            DB = D // B
+
+            def body_pair(b, _, DB=DB):
+                bp = b ^ DB
+
+                @pl.when(b < bp)
+                def _():
+                    xa = e_ref[pl.ds(b * B, B), :]
+                    xb2 = e_ref[pl.ds(bp * B, B), :]
+                    ba = bits_for_block(m32, b)
+                    bb = bits_for_block(m32, bp)
+                    e_ref[pl.ds(b * B, B), :] = jnp.where(ba == 1, xb2, xa)
+                    e_ref[pl.ds(bp * B, B), :] = jnp.where(bb == 1, xa, xb2)
+
+                return 0
+
+            lax.fori_loop(0, nblk, body_pair, 0)
+
+
+def _reduce_v3_kernel(rw_ref, e_ref, rl_ref, src_ref, y_ref):
+    c0 = pl.program_id(0) * GB3
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        y_ref[:] = jnp.zeros_like(y_ref)
+
+    lane4 = jax.lax.broadcasted_iota(jnp.int32, (4, 128), 1)
+    flat4 = jax.lax.broadcasted_iota(jnp.int32, (4, 128), 0) * 128 + lane4
+
+    def body(j, _):
+        e = e_ref[pl.ds(j * 4, 4), :]
+        rl = rl_ref[pl.ds(j, 1)][0].astype(jnp.int32)
+        for k in (1, 2, 4, 8, 16, 32, 64, 128, 256):
+            se = _flat_shift(e, k, lane4)
+            sr = _flat_shift(rl, k, lane4)
+            mm = (sr == rl) & (flat4 >= k)
+            e = e + jnp.where(mm, se, 0.0)
+        src = src_ref[pl.ds(j, 1)][0].astype(jnp.int32)
+        valid = src >= 0
+        src = jnp.where(valid, src, 0)
+        ps = src >> 7
+        pl_ = src & 127
+        out = jnp.zeros((8, 128), jnp.float32)
+        for qq in range(4):
+            cand = jnp.take_along_axis(
+                jnp.broadcast_to(e[qq : qq + 1, :], (8, 128)), pl_, axis=1
+            )
+            out = out + jnp.where(ps == qq, cand, 0.0)
+        out = jnp.where(valid, out, 0.0)
+        y_ref[pl.ds(rw_ref[c0 + j], 8), :] += out
+        return 0
+
+    lax.fori_loop(0, GB3, body, 0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_pad", "interpret")
+)
+def _spmv_v3_call(
+    cw8,
+    col_local,
+    weights,
+    masks,
+    rw8,
+    row_local,
+    route_src,
+    x2d,
+    *,
+    n_pad: int,
+    interpret: bool = False,
+):
+    C = col_local.shape[0]
+    R = x2d.shape[0]
+    Rn = n_pad // 128
+
+    e0 = pl.pallas_call(
+        _gather_v3_kernel,
+        out_shape=jax.ShapeDtypeStruct((C * 4, 128), jnp.float32),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(C // GB3,),
+            in_specs=[
+                pl.BlockSpec(
+                    (R, 128), lambda c, *_: (0, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec((GB3, 4, 128), lambda c, *_: (c, 0, 0)),
+                pl.BlockSpec((GB3, 4, 128), lambda c, *_: (c, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((GB3 * 4, 128), lambda c, *_: (c, 0)),
+        ),
+        interpret=interpret,
+    )(cw8, x2d, col_local, weights)
+
+    e = pl.pallas_call(
+        functools.partial(_benes_kernel, n_pad=n_pad),
+        out_shape=jax.ShapeDtypeStruct((Rn, 128), jnp.float32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, Rn // 32, 128), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        # e is updated in place: the 8 MB value array must not be
+        # duplicated (two copies would exceed VMEM at 2M padded nnz).
+        input_output_aliases={1: 0},
+        interpret=interpret,
+    )(masks, e0)
+
+    y = pl.pallas_call(
+        _reduce_v3_kernel,
+        out_shape=jax.ShapeDtypeStruct((R, 128), jnp.float32),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(C // GB3,),
+            in_specs=[
+                pl.BlockSpec((GB3 * 4, 128), lambda c, *_: (c, 0)),
+                pl.BlockSpec((GB3, 4, 128), lambda c, *_: (c, 0, 0)),
+                pl.BlockSpec((GB3, 8, 128), lambda c, *_: (c, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec(
+                (R, 128), lambda c, *_: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ),
+        interpret=interpret,
+    )(rw8, e, row_local, route_src)
+    return y

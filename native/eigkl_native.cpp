@@ -498,3 +498,103 @@ void ekl_free_plan_v2(EklPlanV2* p) {
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// ---------------------------------------------------------------------
+// Benes network routing.
+//
+// A Benes network on N = 2^m elements realizes ANY permutation with
+// 2m-1 stages of 2:2 switches; stage s has distance d_s (N/2, N/4,
+// ..., 2, 1, 2, ..., N/2) and swaps positions p and p^d_s where the
+// stage's per-position bit is set (bits are set on BOTH partners of a
+// swapped pair, so a kernel only tests its own position).  The SpMV
+// v3 pipeline uses it to move gathered edge values from column-sorted
+// to row-sorted order entirely with vector shifts + selects -- the
+// one data movement a sparse matvec cannot window away.
+//
+// ekl_benes_route computes switch bits for the SCATTER semantics
+//   out[dest[j]] = in[j]
+// by the classic recursive 2-coloring of constraint cycles (iterative
+// over levels).  masks: (2m-1) rows of N/32 little-endian uint32
+// words, caller-allocated and zeroed.
+// ---------------------------------------------------------------------
+
+static inline void set_bit(uint32_t* bits, int64_t p) {
+  bits[p >> 5] |= 1u << (p & 31);
+}
+
+// Route one sub-block of size M = 2*half starting at absolute
+// position `base`.  dest: block-relative destinations (size M),
+// overwritten garbage; dest_out: the two half-size sub-permutations
+// (top at [0,half), bottom at [half,M)).
+static void benes_block(int64_t base, int64_t half, const int32_t* dest,
+                        int32_t* dest_out, int32_t* color, int32_t* inv,
+                        uint32_t* first_bits, uint32_t* last_bits) {
+  const int64_t M = 2 * half;
+  for (int64_t j = 0; j < M; ++j) inv[dest[j]] = (int32_t)j;
+  std::fill(color, color + M, -1);
+  for (int64_t start = 0; start < M; ++start) {
+    if (color[start] != -1) continue;
+    int64_t j = start;
+    while (color[j] == -1) {
+      color[j] = 0;
+      int64_t jp = j ^ half;          // input partner -> other subnet
+      color[jp] = 1;
+      // jp's output-switch mate must route through subnet 0.
+      j = inv[dest[jp] ^ half];
+    }
+  }
+  for (int64_t j = 0; j < M; ++j) {
+    int32_t c = color[j];
+    int64_t d = dest[j];
+    // Sub-permutation: enters subnet c at (j % half), must exit at
+    // (d % half).
+    dest_out[(int64_t)c * half + (j % half)] = (int32_t)(d % half);
+    if (j < half && c == 1) {
+      // First stage: slot j routed to the bottom subnet -> swap.
+      set_bit(first_bits, base + j);
+      set_bit(first_bits, base + j + half);
+    }
+    // Last stage: top subnet exits to output (d%half) when unswapped;
+    // swap needed iff the element's subnet disagrees with its output
+    // half.
+    if ((d >= half) == (c == 0)) {
+      set_bit(last_bits, base + (d % half));
+      // both partners (idempotent under the constraint pairing)
+      set_bit(last_bits, base + (d % half) + half);
+    }
+  }
+}
+
+int32_t ekl_benes_route(int64_t N, const int32_t* dest, uint32_t* masks) {
+  int64_t m = 0;
+  while ((1LL << m) < N) ++m;
+  if ((1LL << m) != N || N < 2) return 1;
+  const int64_t stages = 2 * m - 1;
+  const int64_t words = N / 32;
+  std::vector<int32_t> cur(dest, dest + N), nxt(N);
+  std::vector<int32_t> color(N), inv(N);
+  for (int64_t lev = 0; lev < m - 1; ++lev) {
+    const int64_t M = N >> lev;
+    const int64_t half = M / 2;
+    uint32_t* fb = masks + lev * words;
+    uint32_t* lb = masks + (stages - 1 - lev) * words;
+    for (int64_t b = 0; b < (1LL << lev); ++b) {
+      benes_block(b * M, half, cur.data() + b * M, nxt.data() + b * M,
+                  color.data(), inv.data(), fb, lb);
+    }
+    std::swap(cur, nxt);
+  }
+  // Middle stage: blocks of size 2; swap iff the pair is crossed.
+  uint32_t* mb = masks + (m - 1) * words;
+  for (int64_t p = 0; p < N; p += 2) {
+    if (cur[p] == 1) {
+      set_bit(mb, p);
+      set_bit(mb, p + 1);
+    }
+  }
+  return 0;
+}
+
+}  // extern "C"

@@ -6,6 +6,7 @@ matvec up to f32 rounding) -- the cross-implementation redundancy test
 strategy of the reference (SURVEY.md #4.3: cKL vs gKL agreement).
 """
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 import pytest
@@ -164,3 +165,60 @@ class TestMegaKernel:
         np.testing.assert_allclose(
             float(P.cut_size(g, s)), r.best_cut, rtol=1e-5, atol=1e-3
         )
+
+
+class TestBenesV3:
+    def test_benes_permutation_kernel(self, rng):
+        """The Benes network kernel must realize arbitrary permutations
+        (switch bits from the native router)."""
+        import functools
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+        from eig_kl_tpu.io import native_io
+        from eig_kl_tpu.ops import spmv_pallas as SP
+
+        if not native_io.available():
+            pytest.skip("native library unavailable")
+        N = 8192
+        dest = rng.permutation(N).astype(np.int32)
+        masks = SP._benes_masks(dest)
+        x = rng.standard_normal(N).astype(np.float32)
+        Rn = N // 128
+        e = pl.pallas_call(
+            functools.partial(SP._benes_kernel, n_pad=N),
+            out_shape=jax.ShapeDtypeStruct((Rn, 128), jnp.float32),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((2, Rn // 32, 128), jnp.int32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            input_output_aliases={1: 0},
+            interpret=True,
+        )(jnp.asarray(masks), jnp.asarray(x.reshape(Rn, 128)))
+        exp = np.empty(N, np.float32)
+        exp[dest] = x
+        np.testing.assert_array_equal(np.asarray(e).reshape(-1), exp)
+
+    def test_v3_spmv_matches(self, fract):
+        from eig_kl_tpu.graph.expand import clique_expand
+        from eig_kl_tpu.io import native_io
+        from eig_kl_tpu.ops import spmv_pallas as SP
+
+        if not native_io.available():
+            pytest.skip("native library unavailable")
+        g = clique_expand(fract, "kl", use_native=False)
+        n = g.num_nodes
+        rows = np.repeat(np.arange(n, dtype=np.int64), g.degrees)
+        plan = SP.build_plan_v3(
+            n, rows, g.indices.astype(np.int64), g.data.astype(np.float32)
+        )
+        rng = np.random.default_rng(5)
+        x = rng.standard_normal(n).astype(np.float32)
+        y = np.asarray(SP.spmv_pallas(plan, jnp.asarray(x), interpret=True))
+        y_ref = np.zeros(n)
+        np.add.at(y_ref, rows, g.data * x[g.indices])
+        np.testing.assert_allclose(y, y_ref, rtol=1e-4, atol=1e-4)

@@ -1,0 +1,66 @@
+"""CLI surface tests (run in-process on the CPU mesh)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from tests.conftest import circuit_path
+
+
+@pytest.fixture()
+def workdir(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    return tmp_path
+
+
+def _main(argv):
+    from eig_kl_tpu.cli.main import main
+
+    return main(argv)
+
+
+class TestCli:
+    def test_generate_and_kl(self, workdir, capsys):
+        assert _main(["generate", "0.001", "-o", "c.hgr", "--seed", "1"]) == 0
+        assert _main(["kl", "c.hgr"]) == 0
+        out = capsys.readouterr().out
+        assert "Verified cut size" in out
+        assert os.path.exists("results/c.hgr_KL_CutSize_output.txt")
+
+    def test_kl_multi_start(self, workdir, capsys):
+        _main(["generate", "0.001", "-o", "c.hgr", "--seed", "1"])
+        assert _main(["kl", "c.hgr", "--starts", "4"]) == 0
+        out = capsys.readouterr().out
+        assert "Multi-start best cuts" in out
+        # best-of-4 must be at least as good as the seed-0 single start
+        _main(["kl", "c.hgr"])
+
+    def test_kl_multi_start_rejects_eig(self, workdir, capsys):
+        _main(["generate", "0.001", "-o", "c.hgr", "--seed", "1"])
+        assert _main(["kl", "c.hgr", "-EIG", "--starts", "4"]) == 1
+
+    def test_kl_sharded(self, workdir, capsys):
+        _main(["generate", "0.001", "-o", "c.hgr", "--seed", "1"])
+        assert _main(["kl", "c.hgr", "--sharded"]) == 0
+        assert "Verified cut size" in capsys.readouterr().out
+
+    def test_kl_table(self, workdir, capsys):
+        _main(["generate", "0.001", "-o", "c.hgr", "--seed", "1"])
+        assert _main(["kl", "c.hgr", "--table"]) == 0
+        assert "KL Iterations" in capsys.readouterr().out
+
+    def test_eig_kl_roundtrip(self, workdir, capsys):
+        assert _main(["eig", circuit_path("fract"), "--solver", "lanczos"]) == 0
+        out = capsys.readouterr().out
+        assert "lambda_2 = 0.254706743273" in out
+        assert _main(["kl", circuit_path("fract"), "-EIG"]) == 0
+        assert "Verified cut size" in capsys.readouterr().out
+
+    def test_missing_file(self, workdir, capsys):
+        assert _main(["kl", "nope.hgr"]) == 1
+        assert "file not found" in capsys.readouterr().err
+
+    def test_info(self, capsys):
+        assert _main(["info"]) == 0
+        assert "Device" in capsys.readouterr().out

@@ -129,6 +129,7 @@ def _run_kl(args, fused: bool) -> int:
     from eig_kl_tpu.models.pipelines import fused_partition, kl_partition
     from eig_kl_tpu.utils.config import KLConfig, SpectralConfig
     from eig_kl_tpu.utils import logging as rlog
+    from eig_kl_tpu.utils.tracing import maybe_profile
 
     dtype = jnp.float64 if args.f64 else jnp.float32
     if args.f64:
@@ -140,6 +141,11 @@ def _run_kl(args, fused: bool) -> int:
     print(f"Circuit: {hg.num_nets} nets, {hg.num_nodes} nodes, {hg.num_pins} pins")
     gain_eps = getattr(args, "gain_eps", 1e-6)
     kl_config = KLConfig(gain_eps=gain_eps)
+    if not fused and getattr(args, "starts", 1) > 1 and args.eig_init:
+        print("Error: --starts uses random inits (drop -EIG)", file=sys.stderr)
+        return 1
+    profile_ctx = maybe_profile()
+    profile_ctx.__enter__()
     if fused:
         run = fused_partition(
             hg,
@@ -150,9 +156,6 @@ def _run_kl(args, fused: bool) -> int:
             dtype=dtype,
         )
     elif getattr(args, "starts", 1) > 1:
-        if args.eig_init:
-            print("Error: --starts uses random inits (drop -EIG)", file=sys.stderr)
-            return 1
         from eig_kl_tpu.graph.expand import clique_expand
         from eig_kl_tpu.models.pipelines import PartitionRun
         from eig_kl_tpu.parallel import make_mesh, multi_start_refine
@@ -187,6 +190,7 @@ def _run_kl(args, fused: bool) -> int:
         run = kl_partition(
             hg, init=init, kl_config=kl_config, seed=args.seed, dtype=dtype
         )
+    profile_ctx.__exit__(None, None, None)
     runtime = time.perf_counter() - t0
     out = rlog.kl_results_path(args.input, args.eig_init)
     rlog.write_kl_trajectory(out, run.kl)

@@ -1,32 +1,36 @@
-"""Speed-of-light sparse matvec (A @ x) as a Pallas TPU kernel.
+"""Speed-of-light sparse matvec (A @ x) as Pallas TPU kernels.
 
 XLA's general gather/scatter on TPU runs a scalar loop (~7 ns/element),
 so the natural SpMV formulations (ELL gather + row-sum, or COO gather +
 segment-sum) run 100-1000x below HBM speed -- at 200K nodes a single
-Lanczos matvec would cost ~50 ms.  This kernel reaches vector speed by
-removing *all* scalar-indexed memory traffic:
+matvec would cost ~50 ms.  The kernels here reach vector speed by
+removing *all* scalar-indexed memory traffic; the shared primitives are
+``tpu.dynamic_gather`` lane shuffles (~3 ps/element -- the only gather
+form Mosaic lowers to hardware), ``pltpu.roll``-based flat shifts, and
+host planners that make every chunk's x-reads and y-writes *statically*
+windowed.
 
-1. **Stripe-sorted entries.**  The host planner sorts the nnz COO
-   entries by (column-stripe of 1024, row).  Every 512-entry chunk then
-   reads x only from one 1024-element window and writes y only into one
-   1024-row window -- both *static* per chunk.
-2. **Windowed gather on the VPU.**  Within a chunk, ``x[col]`` becomes
-   an 8-way select over ``tpu.dynamic_gather`` lane-shuffles of the
-   (8,128) x-window -- the only gather form Mosaic lowers to the
-   hardware shuffle unit (~3 ps/element vs XLA's ~7 ns).
-3. **Segmented scan instead of scatter.**  Entries of a chunk are
-   reduced per-row with a 9-step Hillis-Steele segmented scan built
-   from ``pltpu.roll`` + compare + add (rows are sorted, so segments
-   are contiguous in flat order).
-4. **Static routing.**  Each chunk's per-row totals sit at the
-   segment-last flat positions; a host-precomputed (8,128) routing map
-   (again lane-shuffles + selects) places them into the y-window, and
-   the window is accumulated with one dynamic-slice read-modify-write.
+Three plan flavors, selected per matrix by :func:`plan_for_graph`:
 
-The kernel streams chunk blocks HBM->VMEM through the Pallas grid
-pipeline; x and y live fully in VMEM (n <= ~2M for the 16 MB budget).
+* **v1** (``build_plan``): chunks keyed on (column stripe x 1024-row
+  window); windowed lane-shuffle gather, 9-step Hillis-Steele segmented
+  scan, static segment-last routing.  Optimal when such tiles are full
+  -- small or locality-friendly graphs.
+* **v2** (``build_plan_v2``): for graphs with no locality (tiles hold
+  ~30 entries).  Buckets (column-block x row-block) quantized to Q
+  slots; dense-chunk gather pass, a *dense* XLA transpose pays the
+  irreducible column->row regroup, one-hot compare-sum reduce pass;
+  bucket overflow spills to a v1 tail.  The default at 1M+ nnz.
+* **v3** (``build_plan_v3``): the regroup as a Benes exchange network
+  (2*log2(N)-1 roll+select stages, switch bits from the native C++
+  router).  Correct and tested, but measured VMEM-bandwidth-bound
+  (~40 MB of moves per stage): slower than v2 at 1M nnz, so not
+  auto-selected; kept as a reusable static-permutation primitive.
 
-This replaces both CUDA SpMV flavors of the reference
+Host planning runs in native C++ (counting-sort passes; see
+native/eigkl_native.cpp) with bit-identical NumPy fallbacks.
+
+This machinery replaces both CUDA SpMV flavors of the reference
 (``sparseMVKernel`` gKL2.cu:65-89 and the gain ``connectionsKernel``
 gKL.cu:104-145 -- gains are ``-s * (A s)``).
 """

@@ -162,12 +162,25 @@ def _run_kl(args, fused: bool) -> int:
 
         import jax
 
-        g = clique_expand(hg, "kl").to_device(dtype=dtype)
-        dp = len(jax.devices())
-        mesh = make_mesh(dp=dp) if args.starts % dp == 0 and dp > 1 else None
-        best, cuts = multi_start_refine(
-            g, args.starts, config=kl_config, mesh=mesh, base_seed=args.seed
-        )
+        on_tpu = jax.default_backend() == "tpu"
+        g_host = clique_expand(hg, "kl")
+        g = g_host.to_device(dtype=dtype, with_plan=on_tpu)
+        if on_tpu and jnp.dtype(dtype) == jnp.float32:
+            from eig_kl_tpu.parallel.multi_start import multi_start_refine_mega
+
+            best, cuts = multi_start_refine_mega(
+                g_host,
+                args.starts,
+                config=kl_config,
+                base_seed=args.seed,
+                device_graph=g,
+            )
+        else:
+            dp = len(jax.devices())
+            mesh = make_mesh(dp=dp) if args.starts % dp == 0 and dp > 1 else None
+            best, cuts = multi_start_refine(
+                g, args.starts, config=kl_config, mesh=mesh, base_seed=args.seed
+            )
         print(f"Multi-start best cuts: {np.sort(cuts)[:8].round(2).tolist()} ...")
         run = PartitionRun(circuit=hg.name, eig=None, kl=best, timings={})
     elif getattr(args, "sharded", False):

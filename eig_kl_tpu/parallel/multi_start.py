@@ -116,3 +116,34 @@ def multi_start_refine(
         gain_trajectory=np.asarray(out.log_gain[k])[: iterations + 1],
     )
     return best, best_cuts
+
+
+def multi_start_refine_mega(
+    graph,
+    num_starts: int,
+    *,
+    config: KLConfig = KLConfig(),
+    base_seed: int = 0,
+    device_graph=None,
+) -> tuple[KLResult, np.ndarray]:
+    """Multi-start refinement through the single-kernel Pallas engine.
+
+    On one chip the mega-kernel finishes a 200K-node refinement in
+    ~0.25 s, so independent starts run as a host loop over the same
+    compiled kernel (the vmapped XLA engine path is preferable only on
+    CPU or multi-chip meshes).  Args mirror
+    :func:`multi_start_refine` but take the host graph.
+    """
+    from eig_kl_tpu.kl.megakernel import MegaGraph, refine_mega
+
+    plan = getattr(device_graph, "plan", None)
+    mg = MegaGraph(graph, plan=plan, device_graph=device_graph)
+    best = None
+    cuts = np.empty(num_starts)
+    for i in range(num_starts):
+        sides = random_split(graph.num_nodes, base_seed + i)
+        res = refine_mega(mg, sides, config)
+        cuts[i] = res.best_cut
+        if best is None or res.best_cut < best.best_cut:
+            best = res
+    return best, cuts

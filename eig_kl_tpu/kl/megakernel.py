@@ -48,6 +48,10 @@ from eig_kl_tpu.utils.config import KLConfig
 
 _NEG = -3.0e38  # "minus infinity" mask for max-reductions (plain float)
 
+# Above this padded-node count, per-swap selection switches from a full
+# masked scan to the hierarchical per-row max cache.
+HIER_THRESHOLD = 1 << 20
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
@@ -145,12 +149,15 @@ def _kernel(
     ib_ref,
     wa_ref,
     wb_ref,
+    rml_ref,
+    rmr_ref,
     sems,
     *,
     num_nodes: int,
     max_iters: int,
     terminate_limit: int,
     gain_eps: float,
+    hierarchical: bool,
 ):
     R = s_ref.shape[0]
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
@@ -173,6 +180,14 @@ def _kernel(
     row0 = log_cut_ref[pl.ds(0, 1), :]
     log_cut_ref[pl.ds(0, 1), :] = jnp.where(lane == 0, cut0, row0)
 
+    # Hierarchical selection state: cached per-row masked maxima of the
+    # D values, one f32 per (R,128)-row per side, laid out flat so each
+    # swap's argmax scans n/128 values instead of n.  Rows are
+    # recomputed whenever their s/a_s/free entries change.
+    if hierarchical:
+        rml_ref[:] = jnp.full_like(rml_ref, _NEG)
+        rmr_ref[:] = jnp.full_like(rmr_ref, _NEG)
+
     def scalar_at(ref, q, l):
         row = ref[pl.ds(q, 1), :]
         return jnp.sum(jnp.where(lane == l, row, 0.0))
@@ -185,25 +200,70 @@ def _kernel(
         row = ref[pl.ds(q, 1), :]
         ref[pl.ds(q, 1), :] = jnp.where(lane == l, value, row)
 
+    def row_maxes(q):
+        if not hierarchical:
+            return
+        srow = s_ref[pl.ds(q, 1), :]
+        arow = as_ref[pl.ds(q, 1), :]
+        frow = free_ref[pl.ds(q, 1), :]
+        d = -(srow * arow)
+        ml = jnp.max(jnp.where((srow > 0) & (frow > 0), d, _NEG))
+        mr = jnp.max(jnp.where((srow < 0) & (frow > 0), d, _NEG))
+        rmw_set(rml_ref, q // 128, q % 128, ml)
+        rmw_set(rmr_ref, q // 128, q % 128, mr)
+
+    if hierarchical:
+
+        def init_rows(q, _):
+            row_maxes(q)
+            return 0
+
+        lax.fori_loop(0, R, init_rows, 0)
+
+    r8 = rml_ref.shape[0]
+    flat_r = jax.lax.broadcasted_iota(jnp.int32, (r8, 128), 0) * 128 + (
+        jax.lax.broadcasted_iota(jnp.int32, (r8, 128), 1)
+    )
+    big_r = jnp.int32(r8 * 128)
+
+    def select(rm_ref, sign_is_left):
+        m = jnp.max(rm_ref[:])
+        q = jnp.min(jnp.where(rm_ref[:] == m, flat_r, big_r))
+        srow = s_ref[pl.ds(q, 1), :]
+        arow = as_ref[pl.ds(q, 1), :]
+        frow = free_ref[pl.ds(q, 1), :]
+        d = -(srow * arow)
+        if sign_is_left:
+            dm = jnp.where((srow > 0) & (frow > 0), d, _NEG)
+        else:
+            dm = jnp.where((srow < 0) & (frow > 0), d, _NEG)
+        l = jnp.min(jnp.where(dm == m, lane, jnp.int32(128)))
+        return q * 128 + l, m
+
     def cond(carry):
         it, cut, comp, best_cut, term, nf0, nf1, stop = carry
         return (stop == 0) & (it < max_iters) & (nf0 > 0) & (nf1 > 0)
 
     def body(carry):
         it, cut, comp, best_cut, term, nf0, nf1, stop = carry
-        s = s_ref[:]
-        a_s = as_ref[:]
-        free = free_ref[:]
-        d = -(s * a_s)
-        left = (s > 0) & (free > 0)
-        right = (s < 0) & (free > 0)
-        dl = jnp.where(left, d, _NEG)
-        dr = jnp.where(right, d, _NEG)
-        m_l = jnp.max(dl)
-        m_r = jnp.max(dr)
-        # First-max index recovery (matches jnp.argmax / cKL.cpp:341-347).
-        a = jnp.min(jnp.where(dl == m_l, flat, big_i))
-        b = jnp.min(jnp.where(dr == m_r, flat, big_i))
+        if hierarchical:
+            # Hierarchical first-max selection (same tie-breaking as a
+            # flat first-max scan: first row holding the global max,
+            # then the first lane within it -- row-major order).
+            a, m_l = select(rml_ref, True)
+            b, m_r = select(rmr_ref, False)
+        else:
+            s = s_ref[:]
+            a_s = as_ref[:]
+            free = free_ref[:]
+            d = -(s * a_s)
+            dl = jnp.where((s > 0) & (free > 0), d, _NEG)
+            dr = jnp.where((s < 0) & (free > 0), d, _NEG)
+            m_l = jnp.max(dl)
+            m_r = jnp.max(dr)
+            # First-max index recovery (jnp.argmax / cKL.cpp:341-347).
+            a = jnp.min(jnp.where(dl == m_l, flat, big_i))
+            b = jnp.min(jnp.where(dr == m_r, flat, big_i))
 
         # Fetch both adjacency rows: indices+degree to SMEM for the
         # scalar loop, weights to SMEM alongside.  HBM arrays with
@@ -244,6 +304,7 @@ def _kernel(
             j = ia_ref[ra, k]
             w = wa_ref[ra, k]
             rmw_add(as_ref, j // 128, j % 128, coef_a * w)
+            row_maxes(j // 128)
             return wab + jnp.where(j == b, w, 0.0)
 
         w_ab = lax.fori_loop(1, deg_a + 1, loop_a, jnp.float32(0.0))
@@ -254,6 +315,7 @@ def _kernel(
             j = ib_ref[rb, k]
             w = wb_ref[rb, k]
             rmw_add(as_ref, j // 128, j % 128, coef_b * w)
+            row_maxes(j // 128)
             return 0
 
         lax.fori_loop(1, deg_b + 1, loop_b, 0)
@@ -263,6 +325,8 @@ def _kernel(
         rmw_set(s_ref, q_b, l_b, -s_b)
         rmw_set(free_ref, q_a, l_a, 0.0)
         rmw_set(free_ref, q_b, l_b, 0.0)
+        row_maxes(q_a)
+        row_maxes(q_b)
 
         gain = m_l + m_r - 2.0 * w_ab
         # Kahan-compensated cut accumulation (gKL.cu:384-414 keeps a
@@ -347,6 +411,10 @@ def _run(
         max_iters=max_iters,
         terminate_limit=terminate_limit,
         gain_eps=gain_eps,
+        # Full-scan selection is faster below ~1M nodes (the per-swap
+        # cache maintenance costs more than the O(n) scan saves); the
+        # hierarchical row-max cache wins beyond that.
+        hierarchical=P > HIER_THRESHOLD,
     )
     return pl.pallas_call(
         kernel,
@@ -382,6 +450,8 @@ def _run(
             pltpu.SMEM((8, W), jnp.int32),
             pltpu.SMEM((8, W), jnp.float32),
             pltpu.SMEM((8, W), jnp.float32),
+            pltpu.VMEM((_round_up(P // 128, 128) // 128, 128), jnp.float32),
+            pltpu.VMEM((_round_up(P // 128, 128) // 128, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((4,)),
         ],
         interpret=interpret,

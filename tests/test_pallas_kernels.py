@@ -222,3 +222,29 @@ class TestBenesV3:
         y_ref = np.zeros(n)
         np.add.at(y_ref, rows, g.data * x[g.indices])
         np.testing.assert_allclose(y, y_ref, rtol=1e-4, atol=1e-4)
+
+
+def test_mega_hierarchical_selection_parity(fract, monkeypatch):
+    """Force the hierarchical row-max selection path and require the
+    exact same trajectory as the full-scan path."""
+    from eig_kl_tpu.graph.expand import clique_expand
+    from eig_kl_tpu.kl import megakernel as M
+    from eig_kl_tpu.utils.config import KLConfig
+
+    g_host = clique_expand(fract, "kl", use_native=False)
+    rng = np.random.default_rng(7)
+    n = fract.num_nodes
+    sides = np.zeros(n, np.int8)
+    sides[rng.permutation(n)[: n // 2]] = 1
+    mg = M.MegaGraph(g_host)
+    cfg = KLConfig()
+    r_flat = M.refine_mega(mg, sides, cfg, interpret=True)
+    monkeypatch.setattr(M, "HIER_THRESHOLD", 0)
+    M._run.clear_cache()
+    r_hier = M.refine_mega(mg, sides, cfg, interpret=True)
+    M._run.clear_cache()
+    assert r_hier.iterations == r_flat.iterations
+    assert (r_hier.sides == r_flat.sides).all()
+    np.testing.assert_allclose(
+        r_hier.cut_trajectory, r_flat.cut_trajectory, rtol=1e-5, atol=1e-4
+    )

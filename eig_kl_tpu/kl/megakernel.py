@@ -50,7 +50,7 @@ _NEG = -3.0e38  # "minus infinity" mask for max-reductions (plain float)
 
 # Above this padded-node count, per-swap selection switches from a full
 # masked scan to the hierarchical per-row max cache.
-HIER_THRESHOLD = 1 << 20
+HIER_THRESHOLD = 1 << 19
 
 
 def _round_up(x: int, m: int) -> int:
@@ -138,13 +138,13 @@ def _kernel(
     # outputs
     s_ref,
     as_ref,
-    free_ref,
     log_cut_ref,
     log_gain_ref,
     log_a_ref,
     log_b_ref,
     out_ref,
     # scratch
+    free_ref,
     ia_ref,
     ib_ref,
     wa_ref,
@@ -161,16 +161,30 @@ def _kernel(
 ):
     R = s_ref.shape[0]
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-    flat = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 0) * 128 + (
-        jax.lax.broadcasted_iota(jnp.int32, (R, 128), 1)
-    )
     big_i = jnp.int32(R * 128)
 
     # State init: copy inputs into the persistent VMEM state, mark the
-    # n..P padding permanently locked.
-    s_ref[:] = s0_ref[:]
-    as_ref[:] = as0_ref[:]
-    free_ref[:] = (flat < num_nodes).astype(jnp.float32)
+    # n..P padding permanently locked.  The free mask is built in 8-row
+    # blocks so no (R,128) iota temporaries live on the VMEM stack.
+    iota8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0) * 128 + (
+        jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    )
+
+    cp_s = pltpu.make_async_copy(s0_ref, s_ref, sems.at[0])
+    cp_a = pltpu.make_async_copy(as0_ref, as_ref, sems.at[1])
+    cp_s.start()
+    cp_a.start()
+
+    def init_free(b, _):
+        flat_b = iota8 + b * 1024
+        free_ref[pl.ds(b * 8, 8), :] = (flat_b < num_nodes).astype(
+            jnp.float32
+        )
+        return 0
+
+    lax.fori_loop(0, R // 8, init_free, 0)
+    cp_s.wait()
+    cp_a.wait()
     log_cut_ref[:] = jnp.zeros_like(log_cut_ref)
     log_gain_ref[:] = jnp.zeros_like(log_gain_ref)
     log_a_ref[:] = jnp.zeros_like(log_a_ref)
@@ -257,6 +271,9 @@ def _kernel(
             a_s = as_ref[:]
             free = free_ref[:]
             d = -(s * a_s)
+            flat = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 0) * 128 + (
+                jax.lax.broadcasted_iota(jnp.int32, (R, 128), 1)
+            )
             dl = jnp.where((s > 0) & (free > 0), d, _NEG)
             dr = jnp.where((s < 0) & (free > 0), d, _NEG)
             m_l = jnp.max(dl)
@@ -349,10 +366,16 @@ def _kernel(
         stop2 = (term2 > terminate_limit).astype(jnp.int32)
         return (it2, cut2, comp2, best2, term2, nf0 - 1, nf1 - 1, stop2)
 
-    free = free_ref[:]
-    s = s_ref[:]
-    nf0 = jnp.sum(((s > 0) & (free > 0)).astype(jnp.int32))
-    nf1 = jnp.sum(((s < 0) & (free > 0)).astype(jnp.int32))
+    def count_free(b, acc):
+        sb = s_ref[pl.ds(b * 8, 8), :]
+        fb = free_ref[pl.ds(b * 8, 8), :]
+        n0 = jnp.sum(((sb > 0) & (fb > 0)).astype(jnp.int32)).astype(jnp.int32)
+        n1 = jnp.sum(((sb < 0) & (fb > 0)).astype(jnp.int32)).astype(jnp.int32)
+        return (acc[0] + n0, acc[1] + n1)
+
+    nf0, nf1 = lax.fori_loop(
+        0, R // 8, count_free, (jnp.int32(0), jnp.int32(0))
+    )
     init = (
         jnp.int32(0),
         cut0,
@@ -421,7 +444,6 @@ def _run(
         out_shape=(
             jax.ShapeDtypeStruct((R, 128), jnp.float32),  # s
             jax.ShapeDtypeStruct((R, 128), jnp.float32),  # a_s
-            jax.ShapeDtypeStruct((R, 128), jnp.float32),  # free
             jax.ShapeDtypeStruct((MLR, 128), jnp.float32),  # log_cut
             jax.ShapeDtypeStruct((MLR, 128), jnp.float32),  # log_gain
             jax.ShapeDtypeStruct((MLR, 128), jnp.int32),  # log_a
@@ -431,8 +453,8 @@ def _run(
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # idx rows stay in HBM
             pl.BlockSpec(memory_space=pl.ANY),  # weight rows stay in HBM
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # s0: DMA'd into state
+            pl.BlockSpec(memory_space=pl.ANY),  # a_s0: DMA'd into state
             pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),
         ],
         out_specs=(
@@ -442,10 +464,13 @@ def _run(
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8), memory_space=pltpu.SMEM),
         ),
+        # s0/as0 live in HBM and are DMA'd into the state once (VMEM
+        # inputs would double-count against the 16 MB budget); the lock
+        # mask is kernel-internal scratch.
         scratch_shapes=[
+            pltpu.VMEM((R, 128), jnp.float32),
             pltpu.SMEM((8, W), jnp.int32),
             pltpu.SMEM((8, W), jnp.int32),
             pltpu.SMEM((8, W), jnp.float32),
@@ -502,7 +527,7 @@ def refine_mega(
         mg.weighted_degrees.sum() - jnp.vdot(s_flat, a_s_n)
     ).astype(jnp.float32)
 
-    s_out, as_out, free_out, log_cut, log_gain, log_a, log_b, scalars = _run(
+    s_out, as_out, log_cut, log_gain, log_a, log_b, scalars = _run(
         mg.meta_indices,
         mg.meta_weights,
         s0,

@@ -155,3 +155,25 @@ def test_fract_eig_beats_random_on_average(fract):
         r = refine(dg, random_split(g.num_nodes, seed), KLConfig(max_iterations=0))
         rand_init_cuts.append(r.initial_cut)
     assert eig_res.initial_cut < np.mean(rand_init_cuts)
+
+
+def test_determinism_same_seed_same_result(fract):
+    """The engines are deterministic (the reference's GPU paths are
+    not: omp-critical getline ordering, gKL.cu:607-613).  Same seed,
+    same graph -> identical trajectories across runs."""
+    import jax.numpy as jnp
+
+    from eig_kl_tpu.graph.expand import clique_expand
+    from eig_kl_tpu.kl.engine import refine
+    from eig_kl_tpu.kl.init import random_split
+    from eig_kl_tpu.utils.config import KLConfig
+
+    g = clique_expand(fract, "kl", use_native=False).to_device(
+        dtype=jnp.float32
+    )
+    sides = random_split(fract.num_nodes, 3)
+    r1 = refine(g, sides, KLConfig())
+    r2 = refine(g, sides, KLConfig())
+    assert r1.iterations == r2.iterations
+    assert (r1.sides == r2.sides).all()
+    np.testing.assert_array_equal(r1.cut_trajectory, r2.cut_trajectory)

@@ -121,3 +121,51 @@ def test_device_graph_roundtrip(rng):
     np.testing.assert_allclose(
         np.asarray(dg.degrees), g.weighted_degrees, rtol=1e-6
     )
+
+
+class TestEdgeCases:
+    def _hg(self, num_nodes, nets):
+        from eig_kl_tpu.io.hgr import Hypergraph
+
+        pins = np.concatenate([np.asarray(e, np.int32) for e in nets]) if nets else np.zeros(0, np.int32)
+        offs = np.zeros(len(nets) + 1, dtype=np.int64)
+        np.cumsum([len(e) for e in nets], out=offs[1:])
+        return Hypergraph(
+            num_nodes=num_nodes, num_nets=len(nets), pins=pins, net_offsets=offs
+        )
+
+    def test_one_pin_nets_skipped(self):
+        """1-pin nets contribute no edges (the reference skips them,
+        gKL.cu:622)."""
+        from eig_kl_tpu.graph.expand import clique_expand
+
+        hg = self._hg(4, [[0], [1, 2], [3]])
+        g = clique_expand(hg, "kl", use_native=False)
+        assert g.nnz == 2  # the single 2-pin net, both directions
+
+    def test_isolated_nodes_locked_out_of_kl(self):
+        """Nodes in no net have degree 0; KL runs and the cut oracle
+        holds (generator circuits have ~7% isolated nodes at scale)."""
+        import jax.numpy as jnp
+
+        from eig_kl_tpu.graph.expand import clique_expand
+        from eig_kl_tpu.kl.engine import refine
+        from eig_kl_tpu.kl.init import random_split
+        from eig_kl_tpu.utils.config import KLConfig
+
+        hg = self._hg(16, [[0, 1], [2, 3, 4], [5, 6]])  # nodes 7..15 isolated
+        g = clique_expand(hg, "kl", use_native=False).to_device(
+            dtype=jnp.float32
+        )
+        r = refine(g, random_split(16, 0), KLConfig())
+        assert r.drift < 1e-6
+        assert r.best_cut <= r.initial_cut
+
+    def test_duplicate_pins_in_net(self):
+        """A net listing the same node twice must not create self loops."""
+        from eig_kl_tpu.graph.expand import clique_expand
+
+        hg = self._hg(3, [[0, 1, 1, 2]])
+        g = clique_expand(hg, "kl", use_native=False)
+        rows = np.repeat(np.arange(3), g.degrees)
+        assert (rows != g.indices).all()

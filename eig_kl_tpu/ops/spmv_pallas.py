@@ -323,7 +323,11 @@ def _spmv_call(plan: SpmvPlan, x2d: jnp.ndarray, *, interpret: bool = False):
 
 
 def spmv_pallas_2d(
-    plan, x2d: jnp.ndarray, *, interpret: bool | None = None
+    plan,
+    x2d: jnp.ndarray,
+    *,
+    interpret: bool | None = None,
+    inter_dtype=jnp.float32,
 ) -> jnp.ndarray:
     """``A @ x`` on already-padded (P/128, 128) f32 state -- the no-copy
     form for device-resident iteration loops (the padding region must be
@@ -356,6 +360,7 @@ def spmv_pallas_2d(
             g1=plan.g1,
             g2=plan.g2,
             interpret=interpret,
+            inter_dtype=inter_dtype,
         )
         if plan.tail is not None:
             y = y + _spmv_call(plan.tail, x2d, interpret=interpret)
@@ -641,7 +646,7 @@ def _gather_kernel(x_ref, cl_ref, w_ref, e_ref, *, chunks_per_cb: int):
                 jnp.broadcast_to(X[qq : qq + 1, :], (4, 128)), l, axis=1
             )
             g = g + jnp.where(q == qq, cand, 0.0)
-        e_ref[pl.ds(j, 1)] = (g * w_ref[pl.ds(j, 1)][0])[None]
+        e_ref[pl.ds(j, 1)] = (g * w_ref[pl.ds(j, 1)][0]).astype(e_ref.dtype)[None]
         return 0
 
     lax.fori_loop(0, GB1, body, 0)
@@ -657,7 +662,7 @@ def _reduce_kernel(rb_ref, e_ref, rl_ref, y_ref, *, ry: int):
     iota = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 128), 1)
 
     def body(b, _):
-        eT = jnp.transpose(e_ref[pl.ds(b, 1)][0])    # (8,512) -> (512,8)
+        eT = jnp.transpose(e_ref[pl.ds(b, 1)][0]).astype(jnp.float32)
         rlT = jnp.transpose(rl_ref[pl.ds(b, 1)][0].astype(jnp.int32))
         for j in range(8):
             e_col = eT[:, j : j + 1]
@@ -675,7 +680,15 @@ def _reduce_kernel(rb_ref, e_ref, rl_ref, y_ref, *, ry: int):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_cb", "n_rbp", "quantum", "g1", "g2", "interpret"),
+    static_argnames=(
+        "n_cb",
+        "n_rbp",
+        "quantum",
+        "g1",
+        "g2",
+        "interpret",
+        "inter_dtype",
+    ),
 )
 def _spmv_v2_call(
     col_local,
@@ -690,6 +703,7 @@ def _spmv_v2_call(
     g1: int,
     g2: int,
     interpret: bool = False,
+    inter_dtype=jnp.float32,
 ):
     C1 = col_local.shape[0]
     C2g = rl_t.shape[0]
@@ -699,7 +713,7 @@ def _spmv_v2_call(
 
     e1 = pl.pallas_call(
         functools.partial(_gather_kernel, chunks_per_cb=g1 // CHUNK),
-        out_shape=jax.ShapeDtypeStruct((C1, 4, 128), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((C1, 4, 128), inter_dtype),
         grid=(C1 // GB1,),
         in_specs=[
             pl.BlockSpec((R, 128), lambda c: (0, 0), memory_space=pltpu.VMEM),

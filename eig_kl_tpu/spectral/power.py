@@ -84,6 +84,11 @@ def _power_core(g, shift, tolerance, min_iters, max_iters, seed, dtype):
         pad_deg = jnp.ones(P, dtype).at[:n].set(safe_deg).reshape(P // 128, 128)
 
         def matvec(x2d):
+            # NOTE: bf16 intermediates (inter_dtype) would halve the
+            # matvec's serial streams, but the gather kernel's 4-row
+            # block writes violate the (16,128) bf16 tile granularity
+            # and fault the TPU -- stays f32 until the blocks are
+            # regrouped.
             return spmv_pallas_2d(g.plan, x2d)
 
         def to_state(x):

@@ -585,11 +585,13 @@ def build_plan_v2(
     # Pass-1 slot grid: (n_cb, n_rbp, Q) flattened, n_rbp chosen so each
     # col-block group is a whole number of 512-slot chunks.
     per = max(CHUNK // Q, 1)
-    n_rbp = _round_up(n_rb, per)
+    # g1/128 must be a whole number of 8-row tiles for the per-column-
+    # block gather pass: n_rbp multiple of max(per, 1024//Q).
+    n_rbp = _round_up(n_rb, max(per, 1024 // Q))
     g1 = n_rbp * Q
     slot = cb_m * g1 + rb_m * Q + rank_m
     S1 = n_cb * g1
-    C1 = _round_up(S1 // CHUNK, GB1)
+    C1 = S1 // CHUNK
     col_local = np.zeros(C1 * CHUNK, np.int16)
     w_arr = np.zeros(C1 * CHUNK, np.float32)
     col_local[slot] = cols_m - cb_m * WINDOW
@@ -623,33 +625,27 @@ def build_plan_v2(
     )
 
 
-GB1 = 32  # pass-1 chunks per grid step
 GB2 = 8   # pass-2 8-chunk blocks per grid step
 
 
-def _gather_kernel(x_ref, cl_ref, w_ref, e_ref, *, chunks_per_cb: int):
-    c0 = pl.program_id(0) * GB1
-    R = x_ref.shape[0]
-
-    def body(j, _):
-        c = c0 + j
-        # Clamp for grid-padding chunks past the last column block
-        # (their weights are 0, so the window contents are irrelevant).
-        cw8 = jnp.minimum((c // chunks_per_cb) * (WINDOW // 128), R - 8)
-        X = x_ref[pl.ds(cw8, 8), :]
-        cl = cl_ref[pl.ds(j, 1)][0].astype(jnp.int32)
-        q = cl >> 7
-        l = cl & 127
-        g = jnp.zeros((4, 128), jnp.float32)
-        for qq in range(8):
-            cand = jnp.take_along_axis(
-                jnp.broadcast_to(X[qq : qq + 1, :], (4, 128)), l, axis=1
-            )
-            g = g + jnp.where(q == qq, cand, 0.0)
-        e_ref[pl.ds(j, 1)] = (g * w_ref[pl.ds(j, 1)][0]).astype(e_ref.dtype)[None]
-        return 0
-
-    lax.fori_loop(0, GB1, body, 0)
+def _gather_kernel(x_ref, cl_ref, w_ref, e_ref):
+    """One grid step per column block: every slot in the block reads
+    the same 1024-wide x-window, so the 8-way lane-shuffle gather runs
+    over the whole (g1/128, 128) slot tile at once (per-op overheads
+    amortize ~25x vs per-512-chunk processing)."""
+    cb = pl.program_id(0)
+    X = x_ref[pl.ds(cb * 8, 8), :]
+    cl = cl_ref[:].astype(jnp.int32)
+    rows = cl.shape[0]
+    q = cl >> 7
+    l = cl & 127
+    g = jnp.zeros((rows, 128), jnp.float32)
+    for qq in range(8):
+        cand = jnp.take_along_axis(
+            jnp.broadcast_to(X[qq : qq + 1, :], (rows, 128)), l, axis=1
+        )
+        g = g + jnp.where(q == qq, cand, 0.0)
+    e_ref[:] = (g * w_ref[:]).astype(e_ref.dtype)
 
 
 def _reduce_kernel(rb_ref, e_ref, rl_ref, y_ref, *, ry: int):
@@ -711,18 +707,23 @@ def _spmv_v2_call(
     Q = quantum
     ry = max(R, n_rbp * (RBLOCK // 128))
 
+    rows_pc = g1 // 128
     e1 = pl.pallas_call(
-        functools.partial(_gather_kernel, chunks_per_cb=g1 // CHUNK),
-        out_shape=jax.ShapeDtypeStruct((C1, 4, 128), inter_dtype),
-        grid=(C1 // GB1,),
+        _gather_kernel,
+        out_shape=jax.ShapeDtypeStruct((n_cb * rows_pc, 128), inter_dtype),
+        grid=(n_cb,),
         in_specs=[
             pl.BlockSpec((R, 128), lambda c: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((GB1, 4, 128), lambda c: (c, 0, 0)),
-            pl.BlockSpec((GB1, 4, 128), lambda c: (c, 0, 0)),
+            pl.BlockSpec((rows_pc, 128), lambda c: (c, 0)),
+            pl.BlockSpec((rows_pc, 128), lambda c: (c, 0)),
         ],
-        out_specs=pl.BlockSpec((GB1, 4, 128), lambda c: (c, 0, 0)),
+        out_specs=pl.BlockSpec((rows_pc, 128), lambda c: (c, 0)),
         interpret=interpret,
-    )(x2d, col_local, weights)
+    )(
+        x2d,
+        col_local.reshape(-1, 128),
+        weights.reshape(-1, 128),
+    )
 
     # Dense bucket transpose: (cb, rbp, Q) -> (rbp, cb*Q), pad to g2.
     S1 = n_cb * g1

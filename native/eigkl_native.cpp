@@ -418,11 +418,12 @@ EklPlanV2* ekl_build_plan_v2(int64_t n, int64_t nnz, const int32_t* rows,
   int64_t Q = 4;
   while (Q < 512 && (double)Q < lam * 1.5) Q *= 2;
   int64_t per = KCH / Q > 0 ? KCH / Q : 1;
-  int64_t n_rbp = round_up_i64(n_rb, per);
+  // g1/128 must be a whole number of 8-row tiles (per-cb gather pass).
+  int64_t rb_round = per > 1024 / Q ? per : 1024 / Q;
+  int64_t n_rbp = round_up_i64(n_rb, rb_round);
   int64_t g1 = n_rbp * Q;
   int64_t g2 = round_up_i64(n_cb * Q, KCH);
-  // Pad the pass-1 chunk count to the grid batch (8 chunks per step).
-  int64_t S1 = round_up_i64(n_cb * g1, KCH * 32);  // GB1=32 grid batch
+  int64_t S1 = n_cb * g1;
   int64_t C2 = n_rbp * g2 / KCH;
   int64_t C2p = round_up_i64(C2, 64);  // 8 sub-chunks x GB2=8 grid batch
   out->q = Q;

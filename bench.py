@@ -125,10 +125,18 @@ def main() -> int:
 
     # --- timed run -------------------------------------------------------
     t0 = time.perf_counter()
-    eig, kl = run_once()
+    eig = eig_partition(hg, spec_config, dtype=jnp.float32, graph=g_spec)
+    t_spec = time.perf_counter() - t0
+    t1 = time.perf_counter()
+    if mg is not None:
+        kl = refine_mega(mg, eig.sides, kl_config)
+    else:
+        kl = refine(g, eig.sides, kl_config)
+    t_kl = time.perf_counter() - t1
     t_exec = time.perf_counter() - t0
     log(
-        f"timed e2e: {t_exec:.3f}s  iters={kl.iterations} "
+        f"timed e2e: {t_exec:.3f}s (spectral {t_spec:.3f}s + KL {t_kl:.3f}s)  "
+        f"iters={kl.iterations} "
         f"cut {kl.initial_cut:.1f} -> best {kl.best_cut:.1f} "
         f"improvement {100 * kl.improvement:.1f}%"
     )

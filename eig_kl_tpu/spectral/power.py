@@ -49,11 +49,17 @@ def power_iteration_fiedler(
 ):
     """Run the gKL2 power iteration; returns (rayleigh_quotient, vector).
 
+    The iteration count of the last run is stashed on the module as
+    ``last_iterations`` (gKL2 prints its count at gKL2.cu:385-387).
+
     Args:
       g: DeviceGraph with the "kl" (1/(k-1)) weighting -- gKL2 reuses
         the KL adjacency for its Laplacian (gKL2.cu:262-303).
     """
-    return _power_core(
+    convergence = config.convergence
+    if convergence == "auto":
+        convergence = "gkl2" if jnp.dtype(dtype) == jnp.float64 else "sign"
+    lam, v, iters = _power_core(
         g,
         shift=config.shift,
         tolerance=config.tolerance,
@@ -61,14 +67,55 @@ def power_iteration_fiedler(
         max_iters=config.max_iterations,
         seed=config.seed,
         dtype=jnp.dtype(dtype).name,
+        convergence=convergence,
+        check_interval=config.check_interval,
+        stable_checks=config.stable_checks,
     )
+    global last_iterations
+    last_iterations = int(iters)
+    return lam, v
+
+
+#: iteration count of the most recent power_iteration_fiedler run.
+last_iterations: int = 0
+
+
+class _SignState(NamedTuple):
+    x: jnp.ndarray
+    split: jnp.ndarray  # median-split pattern at the last check
+    best_x: jnp.ndarray  # iterate with the lowest flip distance so far
+    best_flips: jnp.ndarray  # that minimum distance
+    flips: jnp.ndarray  # distance at the last check
+    stable: jnp.ndarray  # consecutive below-tolerance checks
+    iteration: jnp.ndarray
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("shift", "tolerance", "min_iters", "max_iters", "seed", "dtype"),
+    static_argnames=(
+        "shift",
+        "tolerance",
+        "min_iters",
+        "max_iters",
+        "seed",
+        "dtype",
+        "convergence",
+        "check_interval",
+        "stable_checks",
+    ),
 )
-def _power_core(g, shift, tolerance, min_iters, max_iters, seed, dtype):
+def _power_core(
+    g,
+    shift,
+    tolerance,
+    min_iters,
+    max_iters,
+    seed,
+    dtype,
+    convergence="gkl2",
+    check_interval=25,
+    stable_checks=2,
+):
     dtype = jnp.dtype(dtype)
     n = g.num_nodes
     inv_shift = 1.0 / shift
@@ -125,24 +172,94 @@ def _power_core(g, shift, tolerance, min_iters, max_iters, seed, dtype):
     x0 = to_state(jax.random.uniform(key, (n,), dtype=dtype) - 0.5)
     x0, n0 = step(x0)
 
-    def cond(st: _PowerState):
-        done = (jnp.abs(st.norm - st.prev_norm) < tolerance) & (
-            st.iteration > min_iters
+    if convergence == "sign":
+        # f32-appropriate exit: the delta-norm test (gKL2.cu:370-377)
+        # can never fire below f32 resolution on a unit-norm vector.
+        # Instead watch the quantity the partition actually consumes --
+        # the median-split sign pattern (gKL2.cu:391-414) -- every
+        # `check_interval` steps.  Its complement-normalized Hamming
+        # distance between consecutive checks decreases while the
+        # Fiedler component still dominates the deviation around the
+        # median, then RISES once that component decays below the f32
+        # noise floor of the (dominant) constant component.  So:
+        #   * crisp exit: distance <= flip_tol * n for `stable_checks`
+        #     consecutive checks (real circuits converge this way);
+        #   * dip exit: distance exceeded its running minimum by >10%,
+        #     i.e. we are past the noise turn -- return the iterate that
+        #     achieved the minimum (the best split seen).
+        # Distance is taken up to complement (min(d, n-d)) because the
+        # high-frequency end of the spectrum survives at |mu| ~ 1 under
+        # shift 2.0 and alternates sign per step.
+        flip_tol = 1e-3
+
+        def split_of(x):
+            v = from_state(x)
+            med = jnp.sort(v)[n // 2]  # "upper" convention, gKL2.cu:396-398
+            return med > v
+
+        def sign_body(st: _SignState):
+            def inner(_, x):
+                return step(x)[0]
+
+            x = jax.lax.fori_loop(0, check_interval, inner, st.x)
+            split = split_of(x)
+            d = jnp.sum(split != st.split).astype(jnp.int32)
+            flips = jnp.minimum(d, n - d).astype(jnp.int32)
+            improved = flips < st.best_flips
+            return _SignState(
+                x=x,
+                split=split,
+                best_x=jnp.where(improved, x, st.best_x),
+                best_flips=jnp.where(improved, flips, st.best_flips),
+                flips=flips,
+                stable=jnp.where(flips <= flip_tol * n, st.stable + 1, 0),
+                iteration=st.iteration + check_interval,
+            )
+
+        def sign_cond(st: _SignState):
+            past_min = st.iteration > min_iters
+            crisp = (st.stable >= stable_checks) & past_min
+            rose = (
+                (st.flips.astype(jnp.float32) > 1.1 * st.best_flips.astype(jnp.float32))
+                & past_min
+            )
+            return (~crisp) & (~rose) & (st.iteration < max_iters)
+
+        big = jnp.asarray(n + 1, jnp.int32)
+        init = _SignState(
+            x=x0,
+            split=split_of(x0),
+            best_x=x0,
+            best_flips=big,
+            flips=big,
+            stable=jnp.asarray(0, jnp.int32),
+            iteration=jnp.asarray(1, jnp.int32),
         )
-        return (~done) & (st.iteration < max_iters)
+        final = jax.lax.while_loop(sign_cond, sign_body, init)
+        # Past-the-dip stop returns the minimum-distance iterate; crisp
+        # or cap stops return the latest (best_x == x there anyway for
+        # crisp, and the cap case has no better candidate than best_x).
+        v = jnp.where(final.flips > final.best_flips, final.best_x, final.x)
+    else:  # "gkl2": exact reference rule (gKL2.cu:26-27, 370-377)
 
-    def body(st: _PowerState):
-        x, nrm = step(st.x)
-        return _PowerState(x, nrm, st.norm, st.iteration + 1)
+        def cond(st: _PowerState):
+            done = (jnp.abs(st.norm - st.prev_norm) < tolerance) & (
+                st.iteration > min_iters
+            )
+            return (~done) & (st.iteration < max_iters)
 
-    init = _PowerState(
-        x=x0,
-        norm=n0,
-        prev_norm=jnp.asarray(0.0, dtype),
-        iteration=jnp.asarray(1, jnp.int32),
-    )
-    final = jax.lax.while_loop(cond, body, init)
-    v = final.x
+        def body(st: _PowerState):
+            x, nrm = step(st.x)
+            return _PowerState(x, nrm, st.norm, st.iteration + 1)
+
+        init = _PowerState(
+            x=x0,
+            norm=n0,
+            prev_norm=jnp.asarray(0.0, dtype),
+            iteration=jnp.asarray(1, jnp.int32),
+        )
+        final = jax.lax.while_loop(cond, body, init)
+        v = final.x
     # Rayleigh quotient on the normalized Laplacian.
     lam = jnp.vdot(v, norm_lap(v))
-    return lam, from_state(v)
+    return lam, from_state(v), final.iteration

@@ -66,6 +66,16 @@ class SpectralConfig:
         many steps (gKL2.cu:377).
       shift: power-iteration spectral shift (gKL2.cu:335).
       seed: RNG seed for the initial vector (srand(42), gKL2.cu:322).
+      convergence: power-iteration exit rule.  "gkl2" = the reference's
+        ``|delta norm| < tolerance`` (gKL2.cu:370-377) -- in f32 this is
+        below the resolution of a unit-norm vector's norm and never
+        fires, so all ``max_iterations`` steps run.  "sign" = stop when
+        the median-split sign pattern (the quantity the partition
+        actually consumes, gKL2.cu:391-414) is unchanged across
+        ``stable_checks`` consecutive checks ``check_interval`` steps
+        apart.  "auto" (default) = "sign" for f32, "gkl2" for f64.
+      check_interval: power steps between sign-stability checks.
+      stable_checks: consecutive unchanged checks required to stop.
     """
 
     solver: str = "lanczos"
@@ -75,3 +85,6 @@ class SpectralConfig:
     min_power_iters: int = 100
     shift: float = 2.0
     seed: int = 42
+    convergence: str = "auto"
+    check_interval: int = 25
+    stable_checks: int = 2

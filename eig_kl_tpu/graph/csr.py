@@ -112,6 +112,31 @@ class Graph:
             return float(self.data[lo + j])
         return 0.0
 
+    def relabel(self, perm: np.ndarray) -> "Graph":
+        """Relabel nodes: old node ``perm[p]`` becomes new node ``p``.
+
+        Mirrors cKL's random-init ensemble (cKL.cpp:175-193): the
+        reference scans ``remain[]`` in shuffle order, so equal-gain
+        ties break by *permutation* position, not node index.  Our
+        engines tie-break by index, so running on the relabeled graph
+        with the first-half/second-half split reproduces the
+        reference's randomized tie-breaking exactly.
+        """
+        n = self.num_nodes
+        new_id = np.empty(n, dtype=np.int64)
+        new_id[perm] = np.arange(n, dtype=np.int64)
+        rows = new_id[np.repeat(np.arange(n, dtype=np.int64), self.degrees)]
+        cols = new_id[self.indices.astype(np.int64)]
+        order = np.lexsort((cols, rows))
+        indptr = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(np.bincount(rows, minlength=n), out=indptr[1:])
+        return Graph(
+            num_nodes=n,
+            indptr=indptr,
+            indices=cols[order].astype(np.int32),
+            data=self.data[order],
+        )
+
     def to_ell(self, pad_multiple: int = 8) -> tuple[np.ndarray, np.ndarray]:
         """Pad CSR rows into (n, dmax) ELL index/weight matrices.
 
@@ -129,6 +154,34 @@ class Graph:
         ell_w[row, pos] = self.data
         return ell_idx, ell_w
 
+    def ell_on_device(self, pad_multiple: int = 8, dtype=jnp.float32):
+        """Build the padded ELL *on device* from CSR-sized uploads.
+
+        Host->device transfers are the bottleneck for skewed graphs (the
+        padded ELL for ibm10's max-degree-574 rows is 320 MB; the CSR
+        arrays are 17 MB), so ship (indices, weights, flat scatter
+        positions) and scatter into the (n, dmax) pad layout on device.
+        Produces bit-identical arrays to :meth:`to_ell`.
+        """
+        import jax
+
+        n = self.num_nodes
+        deg = self.degrees
+        dmax = max(_round_up(self.max_degree, pad_multiple), pad_multiple)
+        pos = np.arange(self.nnz, dtype=np.int64) - np.repeat(self.indptr[:-1], deg)
+        row = np.repeat(np.arange(n, dtype=np.int64), deg)
+        flat = row * dmax + pos
+        idx_dtype = np.int32 if n * dmax < 2**31 else np.int64
+        dev_flat = jnp.asarray(flat.astype(idx_dtype))
+        dev_idx = jnp.asarray(self.indices)
+        dev_w = jnp.asarray(self.data.astype(jnp.dtype(dtype)))
+        base = jax.lax.broadcasted_iota(jnp.int32, (n, dmax), 0).reshape(-1)
+        ell_idx = base.at[dev_flat].set(dev_idx).reshape(n, dmax)
+        ell_w = (
+            jnp.zeros((n * dmax,), dtype).at[dev_flat].set(dev_w).reshape(n, dmax)
+        )
+        return ell_idx, ell_w
+
     def to_device(
         self, pad_multiple: int = 8, dtype=jnp.float32, with_plan: bool = False
     ) -> "DeviceGraph":
@@ -136,15 +189,24 @@ class Graph:
         chunk-planned Pallas SpMV routing (used automatically by
         :func:`eig_kl_tpu.ops.partition.spmv` for f32 matvecs on TPU,
         where XLA's scalar-loop gather is ~1000x off HBM speed)."""
-        ell_idx, ell_w = self.to_ell(pad_multiple)
+        import jax
+
+        if jax.default_backend() == "tpu" and self.nnz > 0:
+            # Transfer-bound path: the tunnel moves ~13 MB/s, so build
+            # the padded ELL on device from nnz-sized uploads.
+            ell_idx, ell_w = self.ell_on_device(pad_multiple, dtype)
+        else:
+            h_idx, h_w = self.to_ell(pad_multiple)
+            ell_idx = jnp.asarray(h_idx)
+            ell_w = jnp.asarray(h_w, dtype=dtype)
         plan = None
         if with_plan:
             from eig_kl_tpu.ops.spmv_pallas import plan_for_graph
 
             plan = plan_for_graph(self)
         return DeviceGraph(
-            ell_indices=jnp.asarray(ell_idx),
-            ell_weights=jnp.asarray(ell_w, dtype=dtype),
+            ell_indices=ell_idx,
+            ell_weights=ell_w,
             degrees=jnp.asarray(self.weighted_degrees, dtype=dtype),
             total_weight=jnp.asarray(self.total_weight, dtype=dtype),
             plan=plan,

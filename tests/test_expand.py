@@ -169,3 +169,33 @@ class TestEdgeCases:
         g = clique_expand(hg, "kl", use_native=False)
         rows = np.repeat(np.arange(3), g.degrees)
         assert (rows != g.indices).all()
+
+
+def test_ell_on_device_matches_host(rng):
+    """The device-side ELL scatter (transfer-bound TPU path) is
+    bit-identical to the host to_ell layout."""
+    from tests.test_expand import random_hypergraph  # self-import safe
+
+    hg = random_hypergraph(rng, num_nodes=57, num_nets=90)
+    g = clique_expand(hg, "kl")
+    h_idx, h_w = g.to_ell(pad_multiple=8)
+    d_idx, d_w = g.ell_on_device(pad_multiple=8, dtype=np.float64)
+    np.testing.assert_array_equal(np.asarray(d_idx), h_idx)
+    np.testing.assert_array_equal(np.asarray(d_w), h_w)
+
+
+def test_relabel_preserves_structure(rng):
+    """relabel(perm) is an exact graph isomorphism: edge weights map
+    through the permutation and cut values are label-invariant."""
+    hg = random_hypergraph(rng, num_nodes=31, num_nets=50)
+    g = clique_expand(hg, "kl")
+    perm = rng.permutation(g.num_nodes)
+    rg = g.relabel(perm)
+    assert rg.nnz == g.nnz
+    new_id = np.empty(g.num_nodes, dtype=np.int64)
+    new_id[perm] = np.arange(g.num_nodes)
+    for u in range(g.num_nodes):
+        for v in range(u + 1, g.num_nodes):
+            assert rg.edge_weight(int(new_id[u]), int(new_id[v])) == pytest.approx(
+                g.edge_weight(u, v)
+            )

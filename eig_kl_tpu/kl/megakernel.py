@@ -134,17 +134,19 @@ def _kernel(
     w_hbm,
     s0_ref,
     as0_ref,
-    cut0_ref,
+    free0_ref,
+    fp_ref,
+    ip_ref,
     # outputs
     s_ref,
     as_ref,
+    free_ref,
     log_cut_ref,
     log_gain_ref,
     log_a_ref,
     log_b_ref,
     out_ref,
     # scratch
-    free_ref,
     ia_ref,
     ib_ref,
     wa_ref,
@@ -163,34 +165,24 @@ def _kernel(
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
     big_i = jnp.int32(R * 128)
 
-    # State init: copy inputs into the persistent VMEM state, mark the
-    # n..P padding permanently locked.  The free mask is built in 8-row
-    # blocks so no (R,128) iota temporaries live on the VMEM stack.
-    iota8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0) * 128 + (
-        jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
-    )
-
+    # State init: copy inputs into the persistent VMEM state.  The free
+    # mask arrives as data (padding n..P pre-locked, plus any nodes
+    # locked by an earlier chunk when running with refresh_interval).
     cp_s = pltpu.make_async_copy(s0_ref, s_ref, sems.at[0])
     cp_a = pltpu.make_async_copy(as0_ref, as_ref, sems.at[1])
+    cp_f = pltpu.make_async_copy(free0_ref, free_ref, sems.at[2])
     cp_s.start()
     cp_a.start()
-
-    def init_free(b, _):
-        flat_b = iota8 + b * 1024
-        free_ref[pl.ds(b * 8, 8), :] = (flat_b < num_nodes).astype(
-            jnp.float32
-        )
-        return 0
-
-    lax.fori_loop(0, R // 8, init_free, 0)
+    cp_f.start()
     cp_s.wait()
     cp_a.wait()
+    cp_f.wait()
     log_cut_ref[:] = jnp.zeros_like(log_cut_ref)
     log_gain_ref[:] = jnp.zeros_like(log_gain_ref)
     log_a_ref[:] = jnp.zeros_like(log_a_ref)
     log_b_ref[:] = jnp.zeros_like(log_b_ref)
 
-    cut0 = cut0_ref[0, 0]
+    cut0 = fp_ref[0, 0]
     row0 = log_cut_ref[pl.ds(0, 1), :]
     log_cut_ref[pl.ds(0, 1), :] = jnp.where(lane == 0, cut0, row0)
 
@@ -256,7 +248,7 @@ def _kernel(
 
     def cond(carry):
         it, cut, comp, best_cut, term, nf0, nf1, stop = carry
-        return (stop == 0) & (it < max_iters) & (nf0 > 0) & (nf1 > 0)
+        return (stop == 0) & (it < ip_ref[0, 0]) & (nf0 > 0) & (nf1 > 0)
 
     def body(carry):
         it, cut, comp, best_cut, term, nf0, nf1, stop = carry
@@ -380,8 +372,8 @@ def _kernel(
         jnp.int32(0),
         cut0,
         jnp.float32(0.0),
-        cut0,
-        jnp.int32(0),
+        jnp.minimum(cut0, fp_ref[0, 1]),
+        ip_ref[0, 1],
         nf0,
         nf1,
         jnp.int32(0),
@@ -397,7 +389,7 @@ def _kernel(
     out_ref[0, 4] = nf0.astype(jnp.float32)
     out_ref[0, 5] = nf1.astype(jnp.float32)
     out_ref[0, 6] = cut0
-    out_ref[0, 7] = 0.0
+    out_ref[0, 7] = stop.astype(jnp.float32)
 
 
 @functools.partial(
@@ -415,7 +407,9 @@ def _run(
     meta_w,
     s0,
     as0,
-    cut0,
+    free0,
+    fparams,
+    iparams,
     *,
     num_nodes: int,
     max_iters: int,
@@ -444,6 +438,7 @@ def _run(
         out_shape=(
             jax.ShapeDtypeStruct((R, 128), jnp.float32),  # s
             jax.ShapeDtypeStruct((R, 128), jnp.float32),  # a_s
+            jax.ShapeDtypeStruct((R, 128), jnp.float32),  # free
             jax.ShapeDtypeStruct((MLR, 128), jnp.float32),  # log_cut
             jax.ShapeDtypeStruct((MLR, 128), jnp.float32),  # log_gain
             jax.ShapeDtypeStruct((MLR, 128), jnp.int32),  # log_a
@@ -455,7 +450,9 @@ def _run(
             pl.BlockSpec(memory_space=pl.ANY),  # weight rows stay in HBM
             pl.BlockSpec(memory_space=pl.ANY),  # s0: DMA'd into state
             pl.BlockSpec(memory_space=pl.ANY),  # a_s0: DMA'd into state
-            pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # free0: DMA'd into state
+            pl.BlockSpec((1, 2), memory_space=pltpu.SMEM),  # [cut0, best0]
+            pl.BlockSpec((1, 2), memory_space=pltpu.SMEM),  # [cap, term0]
         ],
         out_specs=(
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -464,13 +461,12 @@ def _run(
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8), memory_space=pltpu.SMEM),
         ),
-        # s0/as0 live in HBM and are DMA'd into the state once (VMEM
-        # inputs would double-count against the 16 MB budget); the lock
-        # mask is kernel-internal scratch.
+        # s0/as0/free0 live in HBM and are DMA'd into the state once
+        # (VMEM inputs would double-count against the 16 MB budget).
         scratch_shapes=[
-            pltpu.VMEM((R, 128), jnp.float32),
             pltpu.SMEM((8, W), jnp.int32),
             pltpu.SMEM((8, W), jnp.int32),
             pltpu.SMEM((8, W), jnp.float32),
@@ -480,7 +476,7 @@ def _run(
             pltpu.SemaphoreType.DMA((4,)),
         ],
         interpret=interpret,
-    )(meta_idx, meta_w, s0, as0, cut0)
+    )(meta_idx, meta_w, s0, as0, free0, fparams, iparams)
 
 
 def refine_mega(
@@ -507,62 +503,105 @@ def refine_mega(
     sides = np.asarray(sides, dtype=np.int8)
     n1 = int(sides.astype(np.int64).sum())
     natural_cap = min(n - n1, n1)
-    max_iters = (
+    true_cap = (
         natural_cap
         if config.max_iterations is None
         else min(config.max_iterations, natural_cap)
     )
-    # Round the static cap up so recompiles only happen per 4k bucket.
-    max_iters = min(_round_up(max(max_iters, 1), 4096), max(natural_cap, 1))
+    # Chunk size: the full cap when refresh is off, else the refresh
+    # interval -- the kernel re-enters after each chunk with a fresh
+    # from-scratch A @ s and cut (the stronger form of the reference's
+    # disabled verifyAndCorrectCutSize, gKL.cu:368-382).
+    refresh = config.refresh_interval
+    chunk = true_cap if refresh <= 0 else min(refresh, true_cap)
+    # The static value only sizes the log buffers / compile bucket (4k
+    # granularity); the loop itself stops at the runtime cap, so a
+    # user-set max_iterations is honored exactly (matching refine()).
+    max_iters = min(_round_up(max(chunk, 1), 4096), max(natural_cap, 1))
+    terminate_limit = config.terminate_limit(n)
 
     s_host = np.ones(P, dtype=np.float32)
     s_host[:n] = 1.0 - 2.0 * sides.astype(np.float32)
-    s0 = jnp.asarray(s_host.reshape(R, 128))
-
-    # Initial A @ s and cut via the chunk-planned Pallas SpMV.
-    s_flat = jnp.asarray(s_host[:n])
-    a_s_n = spmv_pallas(mg.spmv_plan, s_flat, interpret=interpret)
-    a_s = jnp.zeros(P, jnp.float32).at[:n].set(a_s_n).reshape(R, 128)
-    cut0 = 0.25 * (
-        mg.weighted_degrees.sum() - jnp.vdot(s_flat, a_s_n)
-    ).astype(jnp.float32)
-
-    s_out, as_out, log_cut, log_gain, log_a, log_b, scalars = _run(
-        mg.meta_indices,
-        mg.meta_weights,
-        s0,
-        a_s,
-        cut0.reshape(1, 1),
-        num_nodes=n,
-        max_iters=max_iters,
-        terminate_limit=config.terminate_limit(n),
-        gain_eps=config.gain_eps,
-        interpret=interpret,
+    s_dev = jnp.asarray(s_host.reshape(R, 128))
+    free = (
+        (jnp.arange(P, dtype=jnp.int32) < n)
+        .astype(jnp.float32)
+        .reshape(R, 128)
     )
+
+    def fresh_as_cut(s2d):
+        """From-scratch A @ s (padded) and cut via the planned SpMV."""
+        s_flat = s2d.reshape(-1)[:n]
+        a_s_n = spmv_pallas(mg.spmv_plan, s_flat, interpret=interpret)
+        a_s2d = jnp.zeros(P, jnp.float32).at[:n].set(a_s_n).reshape(R, 128)
+        cut = 0.25 * (
+            mg.weighted_degrees.sum() - jnp.vdot(s_flat, a_s_n)
+        ).astype(jnp.float32)
+        return a_s2d, cut
+
+    a_s, cut0_dev = fresh_as_cut(s_dev)
+    cut = cut0_dev
+    best = cut
+    term = 0
+    it_total = 0
+    initial_cut = None
+    cuts, gains, a_log, b_log = [], [], [], []
+    while True:
+        this_cap = min(chunk, true_cap - it_total)
+        s_out, as_out, free_out, log_cut, log_gain, log_a, log_b, scalars = _run(
+            mg.meta_indices,
+            mg.meta_weights,
+            s_dev,
+            a_s,
+            free,
+            jnp.stack([cut, jnp.asarray(best, jnp.float32)]).reshape(1, 2),
+            jnp.asarray([[this_cap, term]], jnp.int32),
+            num_nodes=n,
+            max_iters=max_iters,
+            terminate_limit=terminate_limit,
+            gain_eps=config.gain_eps,
+            interpret=interpret,
+        )
+        sc, lc, lg, la, lb = jax.device_get(
+            (scalars, log_cut, log_gain, log_a, log_b)
+        )
+        sc = sc[0]
+        it_chunk = int(sc[2])
+        if initial_cut is None:
+            initial_cut = float(sc[6])
+        best = min(float(sc[1]), float(best))
+        term = int(sc[3])
+        stopped = bool(sc[7]) or int(sc[4]) == 0 or int(sc[5]) == 0
+        lo = 0 if it_total == 0 else 1  # later chunks repeat the entry row
+        cuts.append(lc.reshape(-1)[lo : it_chunk + 1])
+        gains.append(lg.reshape(-1)[lo : it_chunk + 1])
+        a_log.append(la.reshape(-1)[1 : it_chunk + 1])
+        b_log.append(lb.reshape(-1)[1 : it_chunk + 1])
+        it_total += it_chunk
+        s_dev, free = s_out, free_out
+        if stopped or it_total >= true_cap:
+            final_cut = float(sc[0])
+            break
+        # Refresh: resync the cached A @ s and the incremental cut from
+        # scratch before the next chunk.
+        a_s, cut = fresh_as_cut(s_dev)
+    iterations = it_total
+
     # From-scratch verification of the incrementally-tracked cut -- the
     # gKL.cu:524-530 oracle -- computed on device from the final signs.
-    s_fin_dev = s_out.reshape(-1)[:n]
+    s_fin_dev = s_dev.reshape(-1)[:n]
     a_s_v = spmv_pallas(mg.spmv_plan, s_fin_dev, interpret=interpret)
     verified_dev = 0.25 * (
         mg.weighted_degrees.sum() - jnp.vdot(s_fin_dev, a_s_v)
     )
-    # One batched device->host transfer for everything.
-    scalars, s_final, log_cut, log_gain, log_a, log_b, verified = (
-        jax.device_get(
-            (scalars, s_fin_dev, log_cut, log_gain, log_a, log_b, verified_dev)
-        )
-    )
-    scalars = scalars[0]
-    iterations = int(scalars[2])
-    final_cut = float(scalars[0])
-    best_cut = float(scalars[1])
-    initial_cut = float(scalars[6])
+    s_final, verified = jax.device_get((s_fin_dev, verified_dev))
     final_sides = (s_final < 0).astype(np.int8)
-    log_cut = log_cut.reshape(-1)
-    log_gain = log_gain.reshape(-1)
-    log_a = log_a.reshape(-1)
-    log_b = log_b.reshape(-1)
+    log_cut = np.concatenate(cuts) if cuts else np.zeros(1, np.float32)
+    log_gain = np.concatenate(gains) if gains else np.zeros(1, np.float32)
+    log_a = np.concatenate([np.zeros(1, np.int32)] + a_log)
+    log_b = np.concatenate([np.zeros(1, np.int32)] + b_log)
     verified = float(verified)
+    best_cut = float(best)
 
     return KLResult(
         sides=final_sides,

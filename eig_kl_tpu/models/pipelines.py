@@ -37,9 +37,7 @@ def _use_mega(config: KLConfig, dtype) -> bool:
     if config.use_pallas is not None:
         return config.use_pallas
     return (
-        jax.default_backend() == "tpu"
-        and jnp.dtype(dtype) == jnp.float32
-        and config.refresh_interval == 0
+        jax.default_backend() == "tpu" and jnp.dtype(dtype) == jnp.float32
     )
 
 

@@ -906,10 +906,23 @@ def build_plan_v3(
         (rows[starts[valid_chunks]] // 128) * 128, P - WINDOW
     )
     rw_base[~valid_chunks] = rw_base[valid_chunks][-1] if valid_chunks.any() else 0
+    span = rows - rw_base[for_c]
+    if nnz and (span.max() >= WINDOW or span.min() < 0):
+        # Each 512-entry CSR chunk must span < WINDOW row indices from
+        # its 128-aligned base.  Graphs with long runs of empty /
+        # low-degree rows (e.g. many isolated nodes) can violate this;
+        # they are served by the v1/v2 plans (which plan_for_graph
+        # auto-selects) -- fail loudly instead of mis-routing.
+        raise ValueError(
+            "build_plan_v3: a CSR chunk spans "
+            f"{int(span.max()) + 1} row indices (> WINDOW={WINDOW}); "
+            "this graph's row-density is too skewed for the v3 plan -- "
+            "use build_plan/build_plan_v2 (plan_for_graph default)."
+        )
     rl = np.zeros((C, CHUNK), np.int16)
     rl[:] = np.concatenate(
         [
-            (rows - rw_base[for_c]).astype(np.int16),
+            span.astype(np.int16),
             np.zeros(N - nnz, np.int16),
         ]
     ).reshape(C, CHUNK)

@@ -72,7 +72,6 @@ def _lanczos_pass(
     H: jnp.ndarray,      # (m, m) Rayleigh-Ritz matrix (filled cols < j_start)
     j_start: jnp.ndarray,
     m: int,
-    sigma: jnp.ndarray = 0.0,
 ):
     """Extend the Lanczos factorization from basis size j_start to m.
 
@@ -84,15 +83,12 @@ def _lanczos_pass(
     def body(j, carry):
         V, H = carry
         v_j = V[j]
-        # Rank-one-shifted operator L + sigma * (1 1^T / n): the exact
-        # nullvector's eigenvalue moves to sigma > lambda_max, so the
-        # smallest Ritz pair is (lambda_2, v_2) even when f32 rounding
-        # leaks a constant component back into the basis (without the
-        # shift, SmallestAlge locks onto the leaked lambda~0 pair at
-        # scale).  For deflated vectors the shift term is ~0, so H still
-        # holds the original Laplacian's Rayleigh quotients.
-        w = laplacian_matvec(g, v_j) + sigma * jnp.mean(v_j)
-        w = _deflate(w)
+        # The exact nullvector (constant) is handled purely by
+        # deflation: every operator output is projected onto the
+        # complement of `ones` here and re-projected after the
+        # orthogonalization below, so rounding cannot regrow a spurious
+        # lambda ~ 0 Ritz pair.
+        w = _deflate(laplacian_matvec(g, v_j))
         # Two-pass full reorthogonalization (rows >= j+1 of V are zero,
         # so they contribute nothing).
         c1 = V @ w
@@ -159,15 +155,12 @@ def lanczos_fiedler(
     res_norm = jnp.asarray(jnp.inf, dtype)
     converged = False
     restarts = 0
-    # Nullspace shift: any sigma > lambda_max works; 2*max weighted
-    # degree + 1 bounds the Laplacian spectrum (Gershgorin).
-    sigma = jnp.asarray(2.0 * float(g.degrees.max()) + 1.0, dtype)
 
     prev_res = float("inf")
     stagnant = 0
     max_restarts = max(config.max_iterations // m, 30)
     for restarts in range(1, max_restarts + 1):
-        V, H = _lanczos_pass(g, V, H, j_start, m, sigma)
+        V, H = _lanczos_pass(g, V, H, j_start, m)
         theta, Y = jnp.linalg.eigh(H)
         # beta_m: norm of the residual direction before normalization is
         # not carried out of the pass; recover the true residual

@@ -29,10 +29,11 @@ class KLConfig:
         consecutive non-improving swaps (5 in the reference).
       max_iterations: hard cap on swaps; None = min side size (the
         natural KL exhaustion point).
-      refresh_interval: if > 0, recompute the cached ``A @ s`` from
-        scratch every this many swaps (a stronger form of the disabled
-        verifyAndCorrectCutSize at gKL.cu:368-382).  0 = off.  Only
-        supported by the XLA engine.
+      refresh_interval: if > 0, recompute the cached ``A @ s`` and the
+        incremental cut from scratch every this many swaps (a stronger
+        form of the disabled verifyAndCorrectCutSize at
+        gKL.cu:368-382).  0 = off.  Supported by both engines (the
+        Pallas engine re-enters the kernel at each refresh point).
       use_pallas: engine selection for :func:`models.pipelines` --
         True = single-kernel Pallas engine (megakernel), False = XLA
         while_loop engine, None = auto (Pallas on TPU).

@@ -177,3 +177,43 @@ def test_determinism_same_seed_same_result(fract):
     assert r1.iterations == r2.iterations
     assert (r1.sides == r2.sides).all()
     np.testing.assert_array_equal(r1.cut_trajectory, r2.cut_trajectory)
+
+
+def test_mega_honors_max_iterations_exactly(fract):
+    """A user-set cap must not be rounded up to the 4096 compile bucket
+    (the kernel stops at the runtime cap)."""
+    from eig_kl_tpu.kl.megakernel import MegaGraph, refine_mega
+
+    g_host = clique_expand(fract, "kl")
+    mg = MegaGraph(g_host)
+    sides = random_split(fract.num_nodes, seed=3)
+    for cap in [0, 1, 7]:
+        res = refine_mega(mg, sides, KLConfig(max_iterations=cap))
+        assert res.iterations <= cap
+
+
+def test_mega_refresh_interval(fract):
+    """Chunked kernel re-entry with periodic from-scratch A@s resync:
+    the trajectory stitches cleanly and the incremental cut stays
+    consistent with the from-scratch oracle."""
+    from eig_kl_tpu.kl.megakernel import MegaGraph, refine_mega
+
+    g_host = clique_expand(fract, "kl")
+    mg = MegaGraph(g_host)
+    sides = random_split(fract.num_nodes, seed=5)
+    base = refine_mega(mg, sides, KLConfig(gain_eps=1e-6))
+    res = refine_mega(mg, sides, KLConfig(gain_eps=1e-6, refresh_interval=7))
+    assert res.iterations > 7  # actually crossed a refresh boundary
+    assert len(res.cut_trajectory) == res.iterations + 1
+    assert abs(res.verified_cut - res.final_cut) < 1e-3
+    assert res.initial_cut == pytest.approx(base.initial_cut)
+    # The refreshed A@s differs from the incremental one in the last
+    # bit, so near-tie selections (and hence trajectories) may diverge;
+    # the refinement quality must stay equivalent.
+    assert res.best_cut <= base.best_cut * 1.25 + 1.0
+    # A refresh interval >= the cap is exactly the single-chunk run.
+    one = refine_mega(
+        mg, sides, KLConfig(gain_eps=1e-6, refresh_interval=10**6)
+    )
+    assert one.iterations == base.iterations
+    np.testing.assert_allclose(one.cut_trajectory, base.cut_trajectory)

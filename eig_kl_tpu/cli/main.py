@@ -44,9 +44,21 @@ def build_parser() -> argparse.ArgumentParser:
     p_eig = sub.add_parser("eig", help="spectral (Fiedler) partition, writes pre_saved_EIG/")
     p_eig.add_argument("input")
     p_eig.add_argument(
-        "--solver", choices=["lanczos", "power"], default="lanczos"
+        "--solver", choices=["lanczos", "power", "lobpcg"], default="lanczos"
     )
-    p_eig.add_argument("--f32", action="store_true", help="solve in float32")
+    prec = p_eig.add_mutually_exclusive_group()
+    prec.add_argument(
+        "--f32",
+        action="store_true",
+        help="force float32 on-device + f64 host refinement",
+    )
+    prec.add_argument(
+        "--f64",
+        action="store_true",
+        help="force a pure float64 device solve (software-emulated and "
+        "slow on TPU; the default there is f32 + f64 host refinement, "
+        "which meets the same 1e-6 bar)",
+    )
     p_eig.add_argument("--tol", type=float, default=1e-6)
 
     p_kl = sub.add_parser("kl", help="KL refinement (random or -EIG init)")
@@ -98,7 +110,16 @@ def cmd_eig(args) -> int:
     from eig_kl_tpu.models.pipelines import spectral_partition
     from eig_kl_tpu.utils.config import SpectralConfig
 
-    dtype = jnp.float32 if args.f32 else jnp.float64
+    # Precision default: pure f64 off-TPU (native there), f32 device
+    # solve + f64 host refinement on TPU, where x64 is software-emulated
+    # and ~20x slower; both meet the 1e-6 golden-parity bar.
+    if args.f32:
+        use_f64 = False
+    elif args.f64:
+        use_f64 = True
+    else:
+        use_f64 = jax.default_backend() != "tpu"
+    dtype = jnp.float64 if use_f64 else jnp.float32
     if dtype == jnp.float64:
         jax.config.update("jax_enable_x64", True)
     t0 = time.perf_counter()
@@ -182,7 +203,9 @@ def _run_kl(args, fused: bool) -> int:
                 g, args.starts, config=kl_config, mesh=mesh, base_seed=args.seed
             )
         print(f"Multi-start best cuts: {np.sort(cuts)[:8].round(2).tolist()} ...")
-        run = PartitionRun(circuit=hg.name, eig=None, kl=best, timings={})
+        run = PartitionRun(
+            circuit=hg.name, eig=None, kl=best, timings={}, nnz=g_host.nnz
+        )
     elif getattr(args, "sharded", False):
         from eig_kl_tpu.graph.expand import clique_expand
         from eig_kl_tpu.kl.init import random_split, split_from_eig
@@ -194,10 +217,11 @@ def _run_kl(args, fused: bool) -> int:
             if args.eig_init
             else random_split(hg.num_nodes, args.seed)
         )
-        res = sharded_refine(
-            clique_expand(hg, "kl"), sides, make_mesh(), dtype=dtype
+        g_host = clique_expand(hg, "kl")
+        res = sharded_refine(g_host, sides, make_mesh(), dtype=dtype)
+        run = PartitionRun(
+            circuit=hg.name, eig=None, kl=res, timings={}, nnz=g_host.nnz
         )
-        run = PartitionRun(circuit=hg.name, eig=None, kl=res, timings={})
     else:
         init = eig_out_path(args.input) if args.eig_init else None
         run = kl_partition(
@@ -207,8 +231,16 @@ def _run_kl(args, fused: bool) -> int:
     runtime = time.perf_counter() - t0
     out = rlog.kl_results_path(args.input, args.eig_init)
     rlog.write_kl_trajectory(out, run.kl)
+    if run.nnz is not None:
+        # Matrix-statistics block, printed on every run like the
+        # reference (cKL.cpp:134-146).
+        print(rlog.format_matrix_stats(hg.num_nodes, run.nnz))
     if getattr(args, "table", False):
-        print(rlog.format_iteration_table(run.kl))
+        print(
+            rlog.format_iteration_table(
+                run.kl, kl_seconds=run.timings.get("kl.refine")
+            )
+        )
     print(rlog.format_final_results(run.kl, runtime))
     for name, secs in sorted(run.timings.items()):
         print(f"  [{name}] {secs:.3f}s")

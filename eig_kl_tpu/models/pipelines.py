@@ -61,6 +61,9 @@ class PartitionRun:
     eig: EigResult | None
     kl: KLResult | None
     timings: dict[str, float]
+    #: adjacency nonzeros (both directions), for the matrix-statistics
+    #: block (cKL.cpp:134-146); None when no graph was built.
+    nnz: int | None = None
 
 
 def spectral_partition(
@@ -110,7 +113,11 @@ def kl_partition(
     with tracer.span("kl.refine"):
         result = _refine_dispatch(g_host, g, sides, kl_config, dtype)
     return PartitionRun(
-        circuit=hg.name, eig=eig, kl=result, timings=dict(tracer.spans)
+        circuit=hg.name,
+        eig=eig,
+        kl=result,
+        timings=dict(tracer.spans),
+        nnz=g_host.nnz,
     )
 
 
@@ -147,5 +154,9 @@ def fused_partition(
     with tracer.span("kl.refine"):
         result = _refine_dispatch(g_host, g, sides, kl_config, dtype)
     return PartitionRun(
-        circuit=hg.name, eig=eig, kl=result, timings=dict(tracer.spans)
+        circuit=hg.name,
+        eig=eig,
+        kl=result,
+        timings=dict(tracer.spans),
+        nnz=g_host.nnz,
     )

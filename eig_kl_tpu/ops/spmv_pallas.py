@@ -585,9 +585,10 @@ def build_plan_v2(
     # Pass-1 slot grid: (n_cb, n_rbp, Q) flattened, n_rbp chosen so each
     # col-block group is a whole number of 512-slot chunks.
     per = max(CHUNK // Q, 1)
-    # g1/128 must be a whole number of 8-row tiles for the per-column-
-    # block gather pass: n_rbp multiple of max(per, 1024//Q).
-    n_rbp = _round_up(n_rb, max(per, 1024 // Q))
+    # g1/128 must be a whole number of 16-row tiles so the gather pass
+    # can emit (16,128)-tiled bf16 blocks (also satisfies f32's 8-row
+    # granularity): n_rbp multiple of max(per, 2048//Q).
+    n_rbp = _round_up(n_rb, max(per, 2048 // Q))
     g1 = n_rbp * Q
     slot = cb_m * g1 + rb_m * Q + rank_m
     S1 = n_cb * g1

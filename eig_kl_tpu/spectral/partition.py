@@ -47,6 +47,7 @@ def eig_partition(
     *,
     dtype=jnp.float64,
     graph: DeviceGraph | None = None,
+    host_graph=None,
 ) -> EigResult:
     """The full spectral phase: clique-expand (2/k weights), solve for
     the Fiedler pair, median-split.  Equivalent of ``./cEIG <file>``
@@ -54,13 +55,26 @@ def eig_partition(
 
     Args:
       hg: input hypergraph.
-      config: solver selection + tolerances.
-      dtype: float64 for Spectra-parity; float32 on TPU for speed.
+      config: solver selection + tolerances.  With ``host_refine`` on
+        (the default for f32 lanczos/lobpcg runs), the device-converged
+        f32 Ritz pair is polished to f64 accuracy by a ~25-step host
+        Lanczos (:mod:`eig_kl_tpu.spectral.refine`), meeting the 1e-6
+        golden-parity bar without x64 emulation on the chip.
+      dtype: float64 for pure-device Spectra parity; float32 (+ host
+        refinement) on TPU for speed.
       graph: optionally a pre-built DeviceGraph ("eig" weighting for the
         lanczos/lobpcg solvers, "kl" weighting for the power solver,
         matching gKL2's reuse of the KL adjacency, gKL2.cu:262-303).
+      host_graph: optionally the matching host CSR :class:`Graph`
+        (built internally when omitted and refinement is on).
     """
     from eig_kl_tpu.graph.expand import clique_expand
+
+    refine = config.host_refine
+    if refine is None:
+        refine = config.solver in ("lanczos", "lobpcg") and (
+            jnp.dtype(dtype) == jnp.float32
+        )
 
     if config.solver == "power":
         from eig_kl_tpu.spectral.power import power_iteration_fiedler
@@ -69,13 +83,30 @@ def eig_partition(
             graph = clique_expand(hg, "kl").to_device(dtype=dtype)
         lam, vec = power_iteration_fiedler(graph, config, dtype=dtype)
         med, sides = median_split(vec, convention="upper")
-    elif config.solver == "lanczos":
-        from eig_kl_tpu.spectral.lanczos import lanczos_fiedler
-
+    elif config.solver in ("lanczos", "lobpcg"):
         if graph is None:
-            graph = clique_expand(hg, "eig").to_device(dtype=dtype)
-        res = lanczos_fiedler(graph, config, dtype=dtype)
-        lam, vec = res.eigenvalue, res.vector
+            if host_graph is None:
+                host_graph = clique_expand(hg, "eig")
+            graph = host_graph.to_device(dtype=dtype)
+        if config.solver == "lanczos":
+            from eig_kl_tpu.spectral.lanczos import lanczos_fiedler
+
+            res = lanczos_fiedler(graph, config, dtype=dtype)
+            lam, vec = res.eigenvalue, res.vector
+        else:
+            from eig_kl_tpu.spectral.lobpcg_solver import lobpcg_fiedler
+
+            res = lobpcg_fiedler(graph, config, dtype=dtype)
+            lam, vec = res.eigenvalue, res.vector
+        if refine:
+            from eig_kl_tpu.spectral.refine import refine_fiedler_host
+
+            if host_graph is None:
+                host_graph = clique_expand(hg, "eig")
+            rf = refine_fiedler_host(
+                host_graph, np.asarray(vec), tol=config.tolerance * 1e-3
+            )
+            lam, vec = rf.eigenvalue, jnp.asarray(rf.vector)
         med, sides = median_split(vec, convention="average")
     else:
         raise ValueError(f"unknown spectral solver {config.solver!r}")

@@ -70,6 +70,7 @@ def power_iteration_fiedler(
         convergence=convergence,
         check_interval=config.check_interval,
         stable_checks=config.stable_checks,
+        inter_dtype=config.inter_dtype,
     )
     global last_iterations
     last_iterations = int(iters)
@@ -102,6 +103,7 @@ class _SignState(NamedTuple):
         "convergence",
         "check_interval",
         "stable_checks",
+        "inter_dtype",
     ),
 )
 def _power_core(
@@ -115,6 +117,7 @@ def _power_core(
     convergence="gkl2",
     check_interval=25,
     stable_checks=2,
+    inter_dtype="float32",
 ):
     dtype = jnp.dtype(dtype)
     n = g.num_nodes
@@ -130,13 +133,15 @@ def _power_core(
         P = g.plan.padded_nodes
         pad_deg = jnp.ones(P, dtype).at[:n].set(safe_deg).reshape(P // 128, 128)
 
+        inter = jnp.dtype(inter_dtype)
+
         def matvec(x2d):
-            # NOTE: bf16 intermediates (inter_dtype) would halve the
-            # matvec's serial streams, but the gather kernel's 4-row
-            # block writes violate the (16,128) bf16 tile granularity
-            # and fault the TPU -- stays f32 until the blocks are
-            # regrouped.
-            return spmv_pallas_2d(g.plan, x2d)
+            # bf16 intermediates halve the v2 plan's streamed HBM bytes
+            # (gather output, bucket transpose, reduce input); the
+            # reduce pass accumulates in f32 and the iterate stays f32.
+            # The v2 slot grid is 16-row aligned (build_plan_v2) so the
+            # gather's bf16 block writes land on (16,128) tiles.
+            return spmv_pallas_2d(g.plan, x2d, inter_dtype=inter)
 
         def to_state(x):
             return jnp.zeros(P, dtype).at[:n].set(x).reshape(P // 128, 128)

@@ -77,6 +77,15 @@ class SpectralConfig:
         apart.  "auto" (default) = "sign" for f32, "gkl2" for f64.
       check_interval: power steps between sign-stability checks.
       stable_checks: consecutive unchanged checks required to stop.
+      inter_dtype: dtype of the SpMV's streamed intermediates in the
+        f32 power loop ("float32" or "bfloat16").  bf16 halves the
+        matvec's HBM traffic through the v2 (bucket-transpose) plan;
+        the accumulation and the iterate itself stay f32.  Only
+        consulted by the power solver on the padded fast path.
+      host_refine: polish the device Ritz pair with a ~25-step f64
+        host Lanczos (:mod:`eig_kl_tpu.spectral.refine`), reaching the
+        1e-6 golden-parity bar from an f32 on-chip solve.  None = auto
+        (on for f32 lanczos/lobpcg runs, off otherwise).
     """
 
     solver: str = "lanczos"
@@ -89,3 +98,5 @@ class SpectralConfig:
     convergence: str = "auto"
     check_interval: int = 25
     stable_checks: int = 2
+    inter_dtype: str = "bfloat16"
+    host_refine: bool | None = None

@@ -59,14 +59,26 @@ def format_final_results(result: KLResult, runtime_s: float) -> str:
     return "\n".join(lines)
 
 
-def format_iteration_table(result: KLResult, max_rows: int = 25) -> str:
+def format_iteration_table(
+    result: KLResult, max_rows: int = 25, kl_seconds: float | None = None
+) -> str:
     """Console iteration table (cKL.cpp:323-330 layout), sampled down to
-    ``max_rows`` rows for long runs."""
+    ``max_rows`` rows for long runs.
+
+    When ``kl_seconds`` is given, a ``Time(us)`` column shows the mean
+    per-swap wall time (cKL.cpp:368-378 prints a per-swap measurement;
+    our swaps run device-resident with no host round-trip to time, so
+    the whole-run mean is the honest equivalent).
+    """
     n = result.iterations
     step = max(1, n // max_rows)
+    us = 1e6 * kl_seconds / max(n, 1) if kl_seconds is not None else None
+    head = f"{'Iter':>8} {'Cut size':>14} {'Gain':>12} {'Improve%':>9}"
+    if us is not None:
+        head += f" {'Time(us)':>9}"
     rows = [
         "==================== KL Iterations ====================",
-        f"{'Iter':>8} {'Cut size':>14} {'Gain':>12} {'Improve%':>9}",
+        head,
     ]
     c0 = max(result.initial_cut, 1e-30)
     idx = list(range(0, n + 1, step))
@@ -75,9 +87,10 @@ def format_iteration_table(result: KLResult, max_rows: int = 25) -> str:
     for i in idx:
         cut = result.cut_trajectory[i]
         gain = result.gain_trajectory[i] if i > 0 else 0.0
-        rows.append(
-            f"{i:>8} {cut:>14.2f} {gain:>12.4f} {100.0 * (1 - cut / c0):>8.2f}%"
-        )
+        row = f"{i:>8} {cut:>14.2f} {gain:>12.4f} {100.0 * (1 - cut / c0):>8.2f}%"
+        if us is not None:
+            row += f" {0.0 if i == 0 else us:>9.2f}"
+        rows.append(row)
     return "\n".join(rows)
 
 

@@ -418,8 +418,10 @@ EklPlanV2* ekl_build_plan_v2(int64_t n, int64_t nnz, const int32_t* rows,
   int64_t Q = 4;
   while (Q < 512 && (double)Q < lam * 1.5) Q *= 2;
   int64_t per = KCH / Q > 0 ? KCH / Q : 1;
-  // g1/128 must be a whole number of 8-row tiles (per-cb gather pass).
-  int64_t rb_round = per > 1024 / Q ? per : 1024 / Q;
+  // g1/128 must be a whole number of 16-row tiles so the gather pass
+  // can emit (16,128)-tiled bf16 blocks (also satisfies the 8-row f32
+  // granularity).
+  int64_t rb_round = per > 2048 / Q ? per : 2048 / Q;
   int64_t n_rbp = round_up_i64(n_rb, rb_round);
   int64_t g1 = n_rbp * Q;
   int64_t g2 = round_up_i64(n_cb * Q, KCH);

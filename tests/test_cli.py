@@ -64,3 +64,39 @@ class TestCli:
     def test_info(self, capsys):
         assert _main(["info"]) == 0
         assert "Device" in capsys.readouterr().out
+
+
+class TestCliRound2:
+    def test_matrix_stats_block(self, workdir, capsys):
+        """The matrix-statistics block prints on every KL run
+        (cKL.cpp:134-146)."""
+        _main(["generate", "0.001", "-o", "c.hgr", "--seed", "1"])
+        assert _main(["kl", "c.hgr"]) == 0
+        out = capsys.readouterr().out
+        assert "Matrix Statistics" in out
+        assert "Non-zero" in out
+
+    def test_table_time_column(self, workdir, capsys):
+        """--table includes the per-swap Time(us) column
+        (cKL.cpp:368-378)."""
+        _main(["generate", "0.001", "-o", "c.hgr", "--seed", "1"])
+        assert _main(["kl", "c.hgr", "--table"]) == 0
+        out = capsys.readouterr().out
+        assert "Time(us)" in out
+
+    def test_eig_lobpcg_solver(self, workdir, capsys):
+        assert (
+            _main([
+                "eig", circuit_path("fract"), "--solver", "lobpcg", "--f32",
+            ])
+            == 0
+        )
+        out = capsys.readouterr().out
+        assert "lambda_2 = 0.254706" in out
+
+    def test_eig_f32_refined_default_parity(self, workdir, capsys):
+        """--f32 (the TPU default path) still hits the golden lambda_2
+        thanks to the host refinement."""
+        assert _main(["eig", circuit_path("fract"), "--f32"]) == 0
+        out = capsys.readouterr().out
+        assert "lambda_2 = 0.254706743" in out

@@ -248,3 +248,42 @@ def test_mega_hierarchical_selection_parity(fract, monkeypatch):
     np.testing.assert_allclose(
         r_hier.cut_trajectory, r_flat.cut_trajectory, rtol=1e-5, atol=1e-4
     )
+
+
+class TestBf16Intermediates:
+    def test_v2_bf16_matches_f32(self, rng):
+        """bf16 streamed intermediates through the v2 plan stay within
+        bf16 rounding of the f32 result (the power loop's fast path)."""
+        from eig_kl_tpu.ops.spmv_pallas import build_plan_v2, spmv_pallas_2d
+
+        n, nnz = 3000, 24000
+        rows = np.sort(rng.integers(0, n, nnz).astype(np.int64))
+        cols = rng.integers(0, n, nnz).astype(np.int64)
+        w = rng.random(nnz).astype(np.float32)
+        plan = build_plan_v2(n, rows, cols, w)
+        x = rng.standard_normal(n).astype(np.float32)
+        y_ref = np.zeros(n, np.float32)
+        np.add.at(y_ref, rows, w * x[cols])
+        P = plan.padded_nodes
+        x2d = jnp.zeros(P, jnp.float32).at[:n].set(x).reshape(P // 128, 128)
+        y32 = np.asarray(
+            spmv_pallas_2d(plan, x2d, interpret=True)
+        ).reshape(-1)[:n]
+        y16 = np.asarray(
+            spmv_pallas_2d(plan, x2d, interpret=True, inter_dtype=jnp.bfloat16)
+        ).reshape(-1)[:n]
+        np.testing.assert_allclose(y32, y_ref, rtol=1e-4, atol=1e-4)
+        scale = np.abs(y_ref).max()
+        assert np.abs(y16 - y_ref).max() <= 2e-2 * scale
+
+    def test_v2_slot_grid_is_bf16_tile_aligned(self, rng):
+        """The gather pass's per-column-block row count must be a whole
+        number of (16,128) bf16 tiles (build_plan_v2's n_rbp rounding)."""
+        from eig_kl_tpu.ops.spmv_pallas import build_plan_v2
+
+        for n, nnz in ((700, 2000), (3000, 24000), (9000, 11000)):
+            rows = np.sort(rng.integers(0, n, nnz).astype(np.int64))
+            cols = rng.integers(0, n, nnz).astype(np.int64)
+            w = rng.random(nnz).astype(np.float32)
+            plan = build_plan_v2(n, rows, cols, w)
+            assert plan.g1 % 2048 == 0, (n, nnz, plan.g1)

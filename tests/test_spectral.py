@@ -144,3 +144,52 @@ def test_eig_partition_end_to_end(fract, tmp_path):
     np.testing.assert_array_equal(back.sides, res.sides)
     gold = read_eig_file(golden_eig_path("fract"))
     assert _sides_match_mod_flip(back.sides, back.values, back.median, gold.sides)
+
+
+# ---------------------------------------------------------------------------
+# LOBPCG solver + f32-device / f64-host iterative refinement
+# ---------------------------------------------------------------------------
+
+
+def test_lobpcg_fract_matches_spectra(fract):
+    """Pure-f64 preconditioned LOBPCG hits the golden lambda_2."""
+    from eig_kl_tpu.spectral.lobpcg_solver import lobpcg_fiedler
+
+    g = clique_expand(fract, "eig").to_device(dtype=jnp.float64)
+    res = lobpcg_fiedler(g, SpectralConfig(solver="lobpcg", tolerance=1e-8))
+    assert float(res.eigenvalue) == pytest.approx(
+        GOLDEN_LAMBDA2["fract"], abs=1e-6
+    )
+
+
+def test_lobpcg_f32_refined_partition(fract):
+    """eig_partition(solver=lobpcg, f32) auto-refines to golden parity."""
+    res = eig_partition(
+        fract, SpectralConfig(solver="lobpcg"), dtype=jnp.float32
+    )
+    assert res.eigenvalue == pytest.approx(GOLDEN_LAMBDA2["fract"], abs=1e-6)
+
+
+@pytest.mark.slow
+def test_lanczos_f32_host_refined_ibm01(ibm01):
+    """The f32 on-device solve + f64 host polish meets the 1e-6 bar
+    (the TPU-default precision path; VERDICT weak #8)."""
+    res = eig_partition(
+        ibm01, SpectralConfig(solver="lanczos"), dtype=jnp.float32
+    )
+    assert res.eigenvalue == pytest.approx(GOLDEN_LAMBDA2["ibm01"], abs=1e-6)
+
+
+def test_refine_host_polishes_perturbed_vector(fract):
+    """refine_fiedler_host recovers f64 accuracy from a noisy f32 seed."""
+    from eig_kl_tpu.spectral.refine import refine_fiedler_host
+
+    g_host = clique_expand(fract, "eig")
+    gold = read_eig_file(golden_eig_path("fract"))
+    rng = np.random.default_rng(1)
+    noisy = gold.values + 1e-3 * rng.standard_normal(gold.values.shape)
+    rf = refine_fiedler_host(
+        g_host, noisy.astype(np.float32), steps=60, tol=1e-12
+    )
+    assert rf.eigenvalue == pytest.approx(GOLDEN_LAMBDA2["fract"], abs=1e-9)
+    assert rf.residual < 1e-6

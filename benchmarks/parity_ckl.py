@@ -44,7 +44,12 @@ def _append(path: str, row: dict) -> None:
         f.write(json.dumps(row) + "\n")
 
 
-def run_ours(circuits: list[str], n_random: int) -> None:
+def run_ours(
+    circuits: list[str],
+    n_random: int,
+    seed_start: int = 0,
+    include_eig: bool = True,
+) -> None:
     sys.path.insert(0, REPO)
     import jax
     import jax.numpy as jnp
@@ -76,7 +81,8 @@ def run_ours(circuits: list[str], n_random: int) -> None:
             do_refine = lambda sides: refine_mega(mg, sides, config)
         else:
             do_refine = lambda sides: refine(g, sides, config)
-        runs = [("eig", 0)] + [("random", s) for s in range(n_random)]
+        runs = [("eig", 0)] if include_eig else []
+        runs += [("random", s) for s in range(seed_start, seed_start + n_random)]
         warm = False
         for mode, seed in runs:
             sides = (
@@ -153,9 +159,16 @@ def main() -> int:
     ap.add_argument("cmd", choices=["ours", "report"])
     ap.add_argument("--circuits", nargs="*", default=CIRCUITS)
     ap.add_argument("--n-random", type=int, default=10)
+    ap.add_argument("--seed-start", type=int, default=0)
+    ap.add_argument("--no-eig", action="store_true")
     args = ap.parse_args()
     if args.cmd == "ours":
-        run_ours(args.circuits, args.n_random)
+        run_ours(
+            args.circuits,
+            args.n_random,
+            seed_start=args.seed_start,
+            include_eig=not args.no_eig,
+        )
     else:
         print(report())
     return 0

@@ -160,6 +160,7 @@ def _kernel(
     terminate_limit: int,
     gain_eps: float,
     hierarchical: bool,
+    batched: bool = False,
 ):
     R = s_ref.shape[0]
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
@@ -168,21 +169,44 @@ def _kernel(
     # State init: copy inputs into the persistent VMEM state.  The free
     # mask arrives as data (padding n..P pre-locked, plus any nodes
     # locked by an earlier chunk when running with refresh_interval).
-    cp_s = pltpu.make_async_copy(s0_ref, s_ref, sems.at[0])
-    cp_a = pltpu.make_async_copy(as0_ref, as_ref, sems.at[1])
-    cp_f = pltpu.make_async_copy(free0_ref, free_ref, sems.at[2])
-    cp_s.start()
-    cp_a.start()
-    cp_f.start()
-    cp_s.wait()
-    cp_a.wait()
-    cp_f.wait()
+    # In batched (multi-start) mode the grid iterates over starts;
+    # each step's (R, 128) state slice arrives as a pipelined VMEM
+    # input block and is copied with vector stores (a manual DMA into
+    # a squeezed grid-blocked output ref trips a Mosaic shape-
+    # verification bug).
+    if batched:
+        i = pl.program_id(0)
+        s_ref[:] = s0_ref[:]
+        as_ref[:] = as0_ref[:]
+        free_ref[:] = free0_ref[:]
+    else:
+        cp_s = pltpu.make_async_copy(s0_ref, s_ref, sems.at[0])
+        cp_a = pltpu.make_async_copy(as0_ref, as_ref, sems.at[1])
+        cp_f = pltpu.make_async_copy(free0_ref, free_ref, sems.at[2])
+        cp_s.start()
+        cp_a.start()
+        cp_f.start()
+        cp_s.wait()
+        cp_a.wait()
+        cp_f.wait()
     log_cut_ref[:] = jnp.zeros_like(log_cut_ref)
     log_gain_ref[:] = jnp.zeros_like(log_gain_ref)
     log_a_ref[:] = jnp.zeros_like(log_a_ref)
     log_b_ref[:] = jnp.zeros_like(log_b_ref)
 
-    cut0 = fp_ref[0, 0]
+    # Scalar params: in batched mode the whole (2, S) SMEM array is
+    # visible (Mosaic rejects sub-(8,128) SMEM blocks) and each grid
+    # step reads its own column.
+    if batched:
+        cut0 = fp_ref[0, i]
+        best0 = fp_ref[1, i]
+        cap0 = ip_ref[0, i]
+        term0 = ip_ref[1, i]
+    else:
+        cut0 = fp_ref[0, 0]
+        best0 = fp_ref[0, 1]
+        cap0 = ip_ref[0, 0]
+        term0 = ip_ref[0, 1]
     row0 = log_cut_ref[pl.ds(0, 1), :]
     log_cut_ref[pl.ds(0, 1), :] = jnp.where(lane == 0, cut0, row0)
 
@@ -248,7 +272,7 @@ def _kernel(
 
     def cond(carry):
         it, cut, comp, best_cut, term, nf0, nf1, stop = carry
-        return (stop == 0) & (it < ip_ref[0, 0]) & (nf0 > 0) & (nf1 > 0)
+        return (stop == 0) & (it < cap0) & (nf0 > 0) & (nf1 > 0)
 
     def body(carry):
         it, cut, comp, best_cut, term, nf0, nf1, stop = carry
@@ -372,8 +396,8 @@ def _kernel(
         jnp.int32(0),
         cut0,
         jnp.float32(0.0),
-        jnp.minimum(cut0, fp_ref[0, 1]),
-        ip_ref[0, 1],
+        jnp.minimum(cut0, best0),
+        term0,
         nf0,
         nf1,
         jnp.int32(0),
@@ -382,14 +406,15 @@ def _kernel(
         cond, body, init
     )
 
-    out_ref[0, 0] = cut
-    out_ref[0, 1] = best_cut
-    out_ref[0, 2] = it.astype(jnp.float32)
-    out_ref[0, 3] = term.astype(jnp.float32)
-    out_ref[0, 4] = nf0.astype(jnp.float32)
-    out_ref[0, 5] = nf1.astype(jnp.float32)
-    out_ref[0, 6] = cut0
-    out_ref[0, 7] = stop.astype(jnp.float32)
+    col = i if batched else 0
+    out_ref[0, col] = cut
+    out_ref[1, col] = best_cut
+    out_ref[2, col] = it.astype(jnp.float32)
+    out_ref[3, col] = term.astype(jnp.float32)
+    out_ref[4, col] = nf0.astype(jnp.float32)
+    out_ref[5, col] = nf1.astype(jnp.float32)
+    out_ref[6, col] = cut0
+    out_ref[7, col] = stop.astype(jnp.float32)
 
 
 @functools.partial(
@@ -443,7 +468,7 @@ def _run(
             jax.ShapeDtypeStruct((MLR, 128), jnp.float32),  # log_gain
             jax.ShapeDtypeStruct((MLR, 128), jnp.int32),  # log_a
             jax.ShapeDtypeStruct((MLR, 128), jnp.int32),  # log_b
-            jax.ShapeDtypeStruct((1, 8), jnp.float32),  # scalars
+            jax.ShapeDtypeStruct((8, 1), jnp.float32),  # scalars
         ),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # idx rows stay in HBM
@@ -462,7 +487,7 @@ def _run(
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8), memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, 1), memory_space=pltpu.SMEM),
         ),
         # s0/as0/free0 live in HBM and are DMA'd into the state once
         # (VMEM inputs would double-count against the 16 MB budget).
@@ -477,6 +502,274 @@ def _run(
         ],
         interpret=interpret,
     )(meta_idx, meta_w, s0, as0, free0, fparams, iparams)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "num_nodes",
+        "max_iters",
+        "terminate_limit",
+        "gain_eps",
+        "interpret",
+    ),
+)
+def _run_batched(
+    meta_idx,
+    meta_w,
+    s0,      # (S, R, 128)
+    as0,
+    free0,
+    fparams,  # (2, S): [cut0; best0]
+    iparams,  # (2, S): [cap; term0]
+    *,
+    num_nodes: int,
+    max_iters: int,
+    terminate_limit: int,
+    gain_eps: float,
+    interpret: bool = False,
+):
+    """Multi-start form: grid over the start axis; each grid step runs
+    one full refinement with per-start (R, 128) VMEM state (the VMEM
+    budget is one start regardless of S).  The stacked state/log arrays
+    travel flattened to (S*R, 128) / (S*MLR, 128) so every block is a
+    plain 2D (rows, 128) tile -- squeezed 3D blocks lower to rank-3
+    memrefs whose per-row VMEM ops are measurably slower in Mosaic."""
+    S, R = s0.shape[0], s0.shape[1]
+    P = R * 128
+    # Grid-blocked (rows, 128) tiles need rows % 8 == 0 (Mosaic block
+    # granularity) whenever S > 1, so the log length rounds to 1024
+    # lanes (8 rows) rather than the single-start path's 128.
+    ml = _round_up(max_iters + 1, 1024)
+    MLR = ml // 128
+    kernel = functools.partial(
+        _kernel,
+        num_nodes=num_nodes,
+        max_iters=max_iters,
+        terminate_limit=terminate_limit,
+        gain_eps=gain_eps,
+        hierarchical=P > HIER_THRESHOLD,
+        batched=True,
+    )
+    blk = lambda rows: pl.BlockSpec((rows, 128), lambda i: (i, 0))
+    s_out, as_out, f_out, lc, lg, la, lb, sc = pl.pallas_call(
+        kernel,
+        grid=(S,),
+        out_shape=(
+            jax.ShapeDtypeStruct((S * R, 128), jnp.float32),  # s
+            jax.ShapeDtypeStruct((S * R, 128), jnp.float32),  # a_s
+            jax.ShapeDtypeStruct((S * R, 128), jnp.float32),  # free
+            jax.ShapeDtypeStruct((S * MLR, 128), jnp.float32),  # log_cut
+            jax.ShapeDtypeStruct((S * MLR, 128), jnp.float32),  # log_gain
+            jax.ShapeDtypeStruct((S * MLR, 128), jnp.int32),  # log_a
+            jax.ShapeDtypeStruct((S * MLR, 128), jnp.int32),  # log_b
+            jax.ShapeDtypeStruct((8, S), jnp.float32),  # scalars
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # idx rows stay in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # weight rows stay in HBM
+            blk(R),  # s0: per-start pipelined VMEM block
+            blk(R),  # a_s0
+            blk(R),  # free0
+            # Scalar params travel as whole (2, S) SMEM arrays; Mosaic
+            # rejects SMEM blocks smaller than the array unless the
+            # trailing dims are (8, 128)-aligned, so each grid step
+            # reads its own column instead of getting a (1, 2) block.
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            blk(R),
+            blk(R),
+            blk(R),
+            blk(MLR),
+            blk(MLR),
+            blk(MLR),
+            blk(MLR),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        scratch_shapes=[
+            pltpu.SMEM((8, meta_idx.shape[1]), jnp.int32),
+            pltpu.SMEM((8, meta_idx.shape[1]), jnp.int32),
+            pltpu.SMEM((8, meta_idx.shape[1]), jnp.float32),
+            pltpu.SMEM((8, meta_idx.shape[1]), jnp.float32),
+            pltpu.VMEM((_round_up(R, 128) // 128, 128), jnp.float32),
+            pltpu.VMEM((_round_up(R, 128) // 128, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+        interpret=interpret,
+    )(
+        meta_idx,
+        meta_w,
+        s0.reshape(S * R, 128),
+        as0.reshape(S * R, 128),
+        free0.reshape(S * R, 128),
+        fparams,
+        iparams,
+    )
+    return (
+        s_out.reshape(S, R, 128),
+        as_out.reshape(S, R, 128),
+        f_out.reshape(S, R, 128),
+        lc.reshape(S, MLR, 128),
+        lg.reshape(S, MLR, 128),
+        la.reshape(S, MLR, 128),
+        lb.reshape(S, MLR, 128),
+        sc,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("n", "P", "interp"))
+def _batch_init(plan, wsum, s_dev, *, n, P, interp):
+    """Batched ``A @ s`` + cut for a (S, R, 128) stack of sign states
+    via the chunk-planned SpMV (used for both the initial gains and the
+    final from-scratch cut verification of every start)."""
+    R = P // 128
+
+    def one(s2d):
+        s_flat = s2d.reshape(-1)[:n]
+        a_s_n = spmv_pallas(plan, s_flat, interpret=interp)
+        a2d = jnp.zeros(P, jnp.float32).at[:n].set(a_s_n).reshape(R, 128)
+        cut = 0.25 * (wsum - jnp.vdot(s_flat, a_s_n)).astype(jnp.float32)
+        return a2d, cut
+
+    return jax.lax.map(one, s_dev)
+
+
+def refine_mega_batch(
+    mg: MegaGraph,
+    sides_batch: np.ndarray,
+    config: KLConfig = KLConfig(),
+    *,
+    interpret: bool | None = None,
+) -> list[KLResult]:
+    """Run S independent refinements in ONE kernel launch (grid over
+    starts): one compile, one host round-trip for all trajectories, and
+    the initial ``A @ s`` / cut of every start computed batched on
+    device.  Used by ``kl --starts N`` on TPU.
+
+    Args:
+      mg: prepared :class:`MegaGraph` (shared across starts).
+      sides_batch: int8[S, n] initial side labels per start.
+      config: reference-parity options; ``refresh_interval`` is not
+        supported here (per-start chunk re-entry diverges -- use
+        :func:`refine_mega` per start for that).
+
+    Returns:
+      One :class:`KLResult` per start (same semantics as refine_mega).
+    """
+    if config.refresh_interval > 0:
+        raise ValueError(
+            "refresh_interval is not supported by the batched multi-start "
+            "kernel; run refine_mega per start instead"
+        )
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    sides_batch = np.asarray(sides_batch, dtype=np.int8)
+    S, n = sides_batch.shape
+    assert n == mg.num_nodes
+    if mg.padded_nodes > 1 << 20:
+        # The batched kernel holds one start's state as VMEM output
+        # blocks PLUS pipelined input blocks; above ~1M padded nodes
+        # that doubled footprint no longer fits, so fall back to the
+        # sequential per-start path (still one compile).
+        return [refine_mega(mg, sides_batch[k], config, interpret=interpret) for k in range(S)]
+    # Batched grid blocks are (R, 128) tiles of an (S*R, 128) array;
+    # Mosaic requires R % 8 == 0, so pad the node axis up to 1024
+    # lanes (the extra rows arrive permanently locked via the free
+    # mask and never affect selection).
+    P = _round_up(mg.padded_nodes, 1024)
+    R = P // 128
+    caps, naturals = [], []
+    for k in range(S):
+        n1 = int(sides_batch[k].astype(np.int64).sum())
+        natural = min(n - n1, n1)
+        naturals.append(natural)
+        caps.append(
+            natural
+            if config.max_iterations is None
+            else min(config.max_iterations, natural)
+        )
+    # Static value sizes the log buffers (4k compile buckets); each
+    # start's loop stops at its own runtime cap.
+    max_iters = min(_round_up(max(max(caps), 1), 4096), max(max(naturals), 1))
+    terminate_limit = config.terminate_limit(n)
+
+    s_host = np.ones((S, P), dtype=np.float32)
+    s_host[:, :n] = 1.0 - 2.0 * sides_batch.astype(np.float32)
+    s_dev = jnp.asarray(s_host.reshape(S, R, 128))
+    free = jnp.broadcast_to(
+        (jnp.arange(P, dtype=jnp.int32) < n)
+        .astype(jnp.float32)
+        .reshape(1, R, 128),
+        (S, R, 128),
+    )
+
+    # Batched initial A @ s + cut through the planned SpMV (module-level
+    # jit, NOT a local closure: a per-call closure would be a fresh jit
+    # function every time and recompile ~4 s on each invocation).
+    wsum = mg.weighted_degrees.sum()
+    a_s, cut0 = _batch_init(
+        mg.spmv_plan, wsum, s_dev, n=n, P=P, interp=interpret
+    )
+    fparams = jnp.stack([cut0, cut0], axis=0)  # (2, S): [cut0; best0]
+    iparams = jnp.asarray(
+        [caps, [0] * S], jnp.int32
+    )  # (2, S): [cap; term0]
+
+    outs = _run_batched(
+        mg.meta_indices,
+        mg.meta_weights,
+        s_dev,
+        a_s,
+        free,
+        fparams,
+        iparams,
+        num_nodes=n,
+        max_iters=max_iters,
+        terminate_limit=terminate_limit,
+        gain_eps=config.gain_eps,
+        interpret=interpret,
+    )
+    s_out_dev = outs[0]
+    # From-scratch verification of every start's final cut (the
+    # gKL.cu:524-530 oracle), batched through the planned SpMV.
+    verified_dev = _batch_init(
+        mg.spmv_plan, wsum, s_out_dev, n=n, P=P, interp=interpret
+    )[1]
+    s_out, _as_out, _free_out, log_cut, log_gain, log_a, log_b, scalars = (
+        jax.device_get(outs)
+    )
+    verified = np.asarray(jax.device_get(verified_dev))
+    results = []
+    for k in range(S):
+        sc = scalars[:, k]
+        iters = int(sc[2])
+        lc = log_cut[k].reshape(-1)
+        lg = log_gain[k].reshape(-1)
+        la = log_a[k].reshape(-1)
+        lb = log_b[k].reshape(-1)
+        s_fin = s_out[k].reshape(-1)[:n]
+        final_sides = (s_fin < 0).astype(np.int8)
+        results.append(
+            KLResult(
+                sides=final_sides,
+                best_sides=replay_swaps(
+                    sides_batch[k],
+                    la[: iters + 1],
+                    lb[: iters + 1],
+                    best_iteration(lc, iters),
+                ),
+                initial_cut=float(sc[6]),
+                final_cut=float(sc[0]),
+                best_cut=float(sc[1]),
+                verified_cut=float(verified[k]),
+                iterations=iters,
+                cut_trajectory=lc[: iters + 1],
+                gain_trajectory=lg[: iters + 1],
+            )
+        )
+    return results
 
 
 def refine_mega(
@@ -565,7 +858,7 @@ def refine_mega(
         sc, lc, lg, la, lb = jax.device_get(
             (scalars, log_cut, log_gain, log_a, log_b)
         )
-        sc = sc[0]
+        sc = sc[:, 0]
         it_chunk = int(sc[2])
         if initial_cut is None:
             initial_cut = float(sc[6])

@@ -128,22 +128,22 @@ def multi_start_refine_mega(
 ) -> tuple[KLResult, np.ndarray]:
     """Multi-start refinement through the single-kernel Pallas engine.
 
-    On one chip the mega-kernel finishes a 200K-node refinement in
-    ~0.25 s, so independent starts run as a host loop over the same
-    compiled kernel (the vmapped XLA engine path is preferable only on
-    CPU or multi-chip meshes).  Args mirror
-    :func:`multi_start_refine` but take the host graph.
+    All starts run in ONE kernel launch (a grid over the start axis,
+    :func:`eig_kl_tpu.kl.megakernel.refine_mega_batch`): one compile,
+    batched initial ``A @ s``/cut setup, and one host round-trip for
+    every trajectory, instead of a per-start host loop.  Per-start VMEM
+    stays constant (each grid step owns the (R, 128) state), so the
+    batch size is unbounded.  Args mirror :func:`multi_start_refine`
+    but take the host graph.
     """
-    from eig_kl_tpu.kl.megakernel import MegaGraph, refine_mega
+    from eig_kl_tpu.kl.megakernel import MegaGraph, refine_mega_batch
 
     plan = getattr(device_graph, "plan", None)
     mg = MegaGraph(graph, plan=plan, device_graph=device_graph)
-    best = None
-    cuts = np.empty(num_starts)
-    for i in range(num_starts):
-        sides = random_split(graph.num_nodes, base_seed + i)
-        res = refine_mega(mg, sides, config)
-        cuts[i] = res.best_cut
-        if best is None or res.best_cut < best.best_cut:
-            best = res
+    batch = np.stack(
+        [random_split(graph.num_nodes, base_seed + i) for i in range(num_starts)]
+    )
+    results = refine_mega_batch(mg, batch, config)
+    cuts = np.asarray([r.best_cut for r in results])
+    best = results[int(np.argmin(cuts))]
     return best, cuts

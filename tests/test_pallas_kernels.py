@@ -287,3 +287,52 @@ class TestBf16Intermediates:
             w = rng.random(nnz).astype(np.float32)
             plan = build_plan_v2(n, rows, cols, w)
             assert plan.g1 % 2048 == 0, (n, nnz, plan.g1)
+
+
+class TestMegaBatch:
+    def test_batched_matches_per_start(self, fract):
+        """refine_mega_batch (grid over starts) reproduces refine_mega
+        per start exactly."""
+        from eig_kl_tpu.kl.init import random_split
+        from eig_kl_tpu.kl.megakernel import (
+            MegaGraph,
+            refine_mega,
+            refine_mega_batch,
+        )
+        from eig_kl_tpu.utils.config import KLConfig
+
+        g_host = _kl_graph(fract)
+        mg = MegaGraph(g_host)
+        cfg = KLConfig(gain_eps=1e-6)
+        batch = np.stack([random_split(fract.num_nodes, s) for s in range(3)])
+        rb = refine_mega_batch(mg, batch, cfg)
+        for s in range(3):
+            r1 = refine_mega(mg, batch[s], cfg)
+            assert rb[s].iterations == r1.iterations
+            np.testing.assert_allclose(
+                rb[s].cut_trajectory, r1.cut_trajectory, rtol=1e-5
+            )
+            assert rb[s].best_cut == pytest.approx(r1.best_cut, rel=1e-5)
+            assert abs(rb[s].verified_cut - rb[s].final_cut) < 1e-3
+
+    def test_batched_honors_per_start_cap(self, fract):
+        from eig_kl_tpu.kl.init import random_split
+        from eig_kl_tpu.kl.megakernel import MegaGraph, refine_mega_batch
+        from eig_kl_tpu.utils.config import KLConfig
+
+        g_host = _kl_graph(fract)
+        mg = MegaGraph(g_host)
+        batch = np.stack([random_split(fract.num_nodes, s) for s in range(2)])
+        rb = refine_mega_batch(mg, batch, KLConfig(max_iterations=7))
+        assert all(r.iterations <= 7 for r in rb)
+
+    def test_batched_rejects_refresh(self, fract):
+        from eig_kl_tpu.kl.init import random_split
+        from eig_kl_tpu.kl.megakernel import MegaGraph, refine_mega_batch
+        from eig_kl_tpu.utils.config import KLConfig
+
+        g_host = _kl_graph(fract)
+        mg = MegaGraph(g_host)
+        batch = np.stack([random_split(fract.num_nodes, s) for s in range(2)])
+        with pytest.raises(ValueError, match="refresh_interval"):
+            refine_mega_batch(mg, batch, KLConfig(refresh_interval=8))

@@ -89,3 +89,56 @@ def test_multi_start_sharded_over_dp(problem):
     best_r, cuts_r = multi_start_refine(dg, 8, base_seed=0)
     np.testing.assert_allclose(cuts_m, cuts_r, rtol=1e-12)
     assert best_m.best_cut == pytest.approx(best_r.best_cut)
+
+
+class TestShardedPower:
+    def test_matches_single_chip_power(self, rng):
+        """The mp-sharded power iteration reproduces the single-chip
+        solver's (lambda, vector) when n divides the shard count (same
+        initial draw, same convergence rule)."""
+        from eig_kl_tpu.parallel.sharded_power import sharded_power_fiedler
+        from eig_kl_tpu.spectral.power import power_iteration_fiedler
+        from eig_kl_tpu.utils.config import SpectralConfig
+        from conftest import random_hypergraph
+
+        hg = random_hypergraph(rng, num_nodes=64, num_nets=128, max_net=5)
+        g = clique_expand(hg, "kl")
+        cfg = SpectralConfig(
+            solver="power", convergence="gkl2", max_iterations=150
+        )
+        lam1, v1 = power_iteration_fiedler(
+            g.to_device(dtype=jnp.float32), cfg, dtype=jnp.float32
+        )
+        mesh = make_mesh(8, dp=1)
+        lam8, v8 = sharded_power_fiedler(g, mesh, cfg, dtype=jnp.float32)
+        np.testing.assert_allclose(
+            np.asarray(v8), np.asarray(v1), rtol=2e-5, atol=2e-5
+        )
+        assert float(lam8) == pytest.approx(float(lam1), rel=1e-4, abs=1e-5)
+
+    def test_padded_shard_counts(self, rng):
+        """n not divisible by the shard count: zero-degree padding rows
+        must not perturb the spectrum (checked against a fresh
+        single-chip run on the same graph up to sign)."""
+        from eig_kl_tpu.parallel.sharded_power import sharded_power_fiedler
+        from eig_kl_tpu.spectral.power import power_iteration_fiedler
+        from eig_kl_tpu.utils.config import SpectralConfig
+        from conftest import random_hypergraph
+
+        hg = random_hypergraph(rng, num_nodes=61, num_nets=128, max_net=5)
+        g = clique_expand(hg, "kl")
+        cfg = SpectralConfig(
+            solver="power", convergence="gkl2", max_iterations=300
+        )
+        lam1, v1 = power_iteration_fiedler(
+            g.to_device(dtype=jnp.float32), cfg, dtype=jnp.float32
+        )
+        mesh = make_mesh(8, dp=1)
+        lam8, v8 = sharded_power_fiedler(g, mesh, cfg, dtype=jnp.float32)
+        assert v8.shape == (61,)
+        # Same operator -> same dominant eigenpair, possibly different
+        # iterate path (different init shape); compare the subspace.
+        corr = abs(np.vdot(np.asarray(v8), np.asarray(v1))) / (
+            np.linalg.norm(np.asarray(v8)) * np.linalg.norm(np.asarray(v1))
+        )
+        assert corr > 0.99

@@ -153,3 +153,24 @@ class TestPowerOnChip:
         _, sides = median_split(vec, convention="upper")
         counts = np.bincount(np.asarray(sides), minlength=2)
         assert counts.min() >= hg.num_nodes // 2 - 1
+
+
+class TestMegaBatchOnChip:
+    def test_batched_multistart_matches_per_start(self, fract_graph):
+        from eig_kl_tpu.kl.init import random_split
+        from eig_kl_tpu.kl.megakernel import (
+            MegaGraph,
+            refine_mega,
+            refine_mega_batch,
+        )
+        from eig_kl_tpu.utils.config import KLConfig
+
+        hg, g_host, g = fract_graph
+        mg = MegaGraph(g_host, plan=g.plan, device_graph=g)
+        cfg = KLConfig(gain_eps=1e-6)
+        batch = np.stack([random_split(hg.num_nodes, s) for s in range(4)])
+        rb = refine_mega_batch(mg, batch, cfg, interpret=False)
+        for s in range(4):
+            r1 = refine_mega(mg, batch[s], cfg, interpret=False)
+            assert rb[s].iterations == r1.iterations
+            assert rb[s].best_cut == pytest.approx(r1.best_cut, rel=1e-4)

@@ -19,15 +19,11 @@ sys.path.insert(0, ".")
 
 
 def bench_one(mult: float, modes=("flat", "hier")) -> None:
-    import jax
-
     import eig_kl_tpu.kl.megakernel as mk
     from eig_kl_tpu.graph.expand import clique_expand
     from eig_kl_tpu.kl.init import random_split
     from eig_kl_tpu.models.generator import generate_circuit
-    from eig_kl_tpu.io.hgr import parse_hgr_text, write_hgr
     from eig_kl_tpu.utils.config import KLConfig
-    import io as _io
 
     hg = generate_circuit(mult, seed=42)
     g = clique_expand(hg, "kl")

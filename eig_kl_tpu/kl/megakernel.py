@@ -140,7 +140,7 @@ def _kernel(
     # outputs
     s_ref,
     as_ref,
-    free_ref,
+    sf_ref,
     log_cut_ref,
     log_gain_ref,
     log_a_ref,
@@ -174,21 +174,28 @@ def _kernel(
     # input block and is copied with vector stores (a manual DMA into
     # a squeezed grid-blocked output ref trips a Mosaic shape-
     # verification bug).
+    # Combined side-and-free state: sf = s * free (0 = locked, else the
+    # sign).  Selection needs only (sf, a_s) -- for sf != 0,
+    # -(sf * a_s) == -(s * a_s) == D -- halving the arrays the per-swap
+    # scan reads and dropping the two mask AND passes.  sf is itself the
+    # third output (free = sf != 0 recovered outside the kernel), so it
+    # costs no extra VMEM.
     if batched:
         i = pl.program_id(0)
         s_ref[:] = s0_ref[:]
         as_ref[:] = as0_ref[:]
-        free_ref[:] = free0_ref[:]
+        sf_ref[:] = s0_ref[:] * free0_ref[:]
     else:
         cp_s = pltpu.make_async_copy(s0_ref, s_ref, sems.at[0])
         cp_a = pltpu.make_async_copy(as0_ref, as_ref, sems.at[1])
-        cp_f = pltpu.make_async_copy(free0_ref, free_ref, sems.at[2])
+        cp_f = pltpu.make_async_copy(free0_ref, sf_ref, sems.at[2])
         cp_s.start()
         cp_a.start()
         cp_f.start()
         cp_s.wait()
         cp_a.wait()
         cp_f.wait()
+        sf_ref[:] = s_ref[:] * sf_ref[:]
     log_cut_ref[:] = jnp.zeros_like(log_cut_ref)
     log_gain_ref[:] = jnp.zeros_like(log_gain_ref)
     log_a_ref[:] = jnp.zeros_like(log_a_ref)
@@ -230,17 +237,19 @@ def _kernel(
         row = ref[pl.ds(q, 1), :]
         ref[pl.ds(q, 1), :] = jnp.where(lane == l, value, row)
 
+    def cache_row(q, sfrow, arow):
+        """Recompute the hierarchical per-row max cache entry for row q
+        from already-loaded sf/a_s rows."""
+        d = -(sfrow * arow)
+        ml = jnp.max(jnp.where(sfrow > 0, d, _NEG))
+        mr = jnp.max(jnp.where(sfrow < 0, d, _NEG))
+        rmw_set(rml_ref, q // 128, q % 128, ml)
+        rmw_set(rmr_ref, q // 128, q % 128, mr)
+
     def row_maxes(q):
         if not hierarchical:
             return
-        srow = s_ref[pl.ds(q, 1), :]
-        arow = as_ref[pl.ds(q, 1), :]
-        frow = free_ref[pl.ds(q, 1), :]
-        d = -(srow * arow)
-        ml = jnp.max(jnp.where((srow > 0) & (frow > 0), d, _NEG))
-        mr = jnp.max(jnp.where((srow < 0) & (frow > 0), d, _NEG))
-        rmw_set(rml_ref, q // 128, q % 128, ml)
-        rmw_set(rmr_ref, q // 128, q % 128, mr)
+        cache_row(q, sf_ref[pl.ds(q, 1), :], as_ref[pl.ds(q, 1), :])
 
     if hierarchical:
 
@@ -259,14 +268,13 @@ def _kernel(
     def select(rm_ref, sign_is_left):
         m = jnp.max(rm_ref[:])
         q = jnp.min(jnp.where(rm_ref[:] == m, flat_r, big_r))
-        srow = s_ref[pl.ds(q, 1), :]
+        sfrow = sf_ref[pl.ds(q, 1), :]
         arow = as_ref[pl.ds(q, 1), :]
-        frow = free_ref[pl.ds(q, 1), :]
-        d = -(srow * arow)
+        d = -(sfrow * arow)
         if sign_is_left:
-            dm = jnp.where((srow > 0) & (frow > 0), d, _NEG)
+            dm = jnp.where(sfrow > 0, d, _NEG)
         else:
-            dm = jnp.where((srow < 0) & (frow > 0), d, _NEG)
+            dm = jnp.where(sfrow < 0, d, _NEG)
         l = jnp.min(jnp.where(dm == m, lane, jnp.int32(128)))
         return q * 128 + l, m
 
@@ -283,15 +291,14 @@ def _kernel(
             a, m_l = select(rml_ref, True)
             b, m_r = select(rmr_ref, False)
         else:
-            s = s_ref[:]
+            sf = sf_ref[:]
             a_s = as_ref[:]
-            free = free_ref[:]
-            d = -(s * a_s)
+            d = -(sf * a_s)
             flat = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 0) * 128 + (
                 jax.lax.broadcasted_iota(jnp.int32, (R, 128), 1)
             )
-            dl = jnp.where((s > 0) & (free > 0), d, _NEG)
-            dr = jnp.where((s < 0) & (free > 0), d, _NEG)
+            dl = jnp.where(sf > 0, d, _NEG)
+            dr = jnp.where(sf < 0, d, _NEG)
             m_l = jnp.max(dl)
             m_r = jnp.max(dr)
             # First-max index recovery (jnp.argmax / cKL.cpp:341-347).
@@ -330,14 +337,24 @@ def _kernel(
         deg_b = ib_ref[rb, 0]
 
         # Scatter side a's row into A@s (flip contribution -2*s_a*w per
-        # neighbor) while accumulating w_ab for the swap gain.
+        # neighbor) while accumulating w_ab for the swap gain.  The a_s
+        # row is loaded once per neighbor and reused for the fused
+        # hierarchical cache refresh.
         coef_a = -2.0 * s_a
+
+        def touch(j, delta):
+            q = j // 128
+            arow = as_ref[pl.ds(q, 1), :] + jnp.where(
+                lane == j % 128, delta, 0.0
+            )
+            as_ref[pl.ds(q, 1), :] = arow
+            if hierarchical:
+                cache_row(q, sf_ref[pl.ds(q, 1), :], arow)
 
         def loop_a(k, wab):
             j = ia_ref[ra, k]
             w = wa_ref[ra, k]
-            rmw_add(as_ref, j // 128, j % 128, coef_a * w)
-            row_maxes(j // 128)
+            touch(j, coef_a * w)
             return wab + jnp.where(j == b, w, 0.0)
 
         w_ab = lax.fori_loop(1, deg_a + 1, loop_a, jnp.float32(0.0))
@@ -346,18 +363,16 @@ def _kernel(
 
         def loop_b(k, _):
             j = ib_ref[rb, k]
-            w = wb_ref[rb, k]
-            rmw_add(as_ref, j // 128, j % 128, coef_b * w)
-            row_maxes(j // 128)
+            touch(j, coef_b * wb_ref[rb, k])
             return 0
 
         lax.fori_loop(1, deg_b + 1, loop_b, 0)
 
-        # Flip and lock both nodes.
+        # Flip and lock both nodes (sf -> 0 covers both side and lock).
         rmw_set(s_ref, q_a, l_a, -s_a)
         rmw_set(s_ref, q_b, l_b, -s_b)
-        rmw_set(free_ref, q_a, l_a, 0.0)
-        rmw_set(free_ref, q_b, l_b, 0.0)
+        rmw_set(sf_ref, q_a, l_a, 0.0)
+        rmw_set(sf_ref, q_b, l_b, 0.0)
         row_maxes(q_a)
         row_maxes(q_b)
 
@@ -383,10 +398,9 @@ def _kernel(
         return (it2, cut2, comp2, best2, term2, nf0 - 1, nf1 - 1, stop2)
 
     def count_free(b, acc):
-        sb = s_ref[pl.ds(b * 8, 8), :]
-        fb = free_ref[pl.ds(b * 8, 8), :]
-        n0 = jnp.sum(((sb > 0) & (fb > 0)).astype(jnp.int32)).astype(jnp.int32)
-        n1 = jnp.sum(((sb < 0) & (fb > 0)).astype(jnp.int32)).astype(jnp.int32)
+        sfb = sf_ref[pl.ds(b * 8, 8), :]
+        n0 = jnp.sum((sfb > 0).astype(jnp.int32)).astype(jnp.int32)
+        n1 = jnp.sum((sfb < 0).astype(jnp.int32)).astype(jnp.int32)
         return (acc[0] + n0, acc[1] + n1)
 
     nf0, nf1 = lax.fori_loop(
@@ -463,7 +477,7 @@ def _run(
         out_shape=(
             jax.ShapeDtypeStruct((R, 128), jnp.float32),  # s
             jax.ShapeDtypeStruct((R, 128), jnp.float32),  # a_s
-            jax.ShapeDtypeStruct((R, 128), jnp.float32),  # free
+            jax.ShapeDtypeStruct((R, 128), jnp.float32),  # sf = s * free
             jax.ShapeDtypeStruct((MLR, 128), jnp.float32),  # log_cut
             jax.ShapeDtypeStruct((MLR, 128), jnp.float32),  # log_gain
             jax.ShapeDtypeStruct((MLR, 128), jnp.int32),  # log_a
@@ -558,7 +572,7 @@ def _run_batched(
         out_shape=(
             jax.ShapeDtypeStruct((S * R, 128), jnp.float32),  # s
             jax.ShapeDtypeStruct((S * R, 128), jnp.float32),  # a_s
-            jax.ShapeDtypeStruct((S * R, 128), jnp.float32),  # free
+            jax.ShapeDtypeStruct((S * R, 128), jnp.float32),  # sf = s * free
             jax.ShapeDtypeStruct((S * MLR, 128), jnp.float32),  # log_cut
             jax.ShapeDtypeStruct((S * MLR, 128), jnp.float32),  # log_gain
             jax.ShapeDtypeStruct((S * MLR, 128), jnp.int32),  # log_a
@@ -616,6 +630,48 @@ def _run_batched(
         la.reshape(S, MLR, 128),
         lb.reshape(S, MLR, 128),
         sc,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("n", "P", "interp"))
+def _finalize_batch(
+    plan, wsum, s0_dev, s_out, log_cut, log_a, log_b, scalars, *, n, P, interp
+):
+    """Device-side result post-processing for a (possibly S=1) stack of
+    runs: from-scratch cut verification (the gKL.cu:524-530 oracle),
+    first-argmin best iteration, and the best partition replayed by
+    masked scatter from the swap log.  Packing all of this on device
+    lets the host retrieve a whole KLResult in ONE device_get -- the
+    tunnel charges ~30 ms per transfer call, which at 200K nodes was
+    ~45% of refinement wall time when the logs, states, and verification
+    came back as separate fetches."""
+
+    def one(args):
+        s0, s2d, lc, la, lb, sc = args
+        s_fin = s2d.reshape(-1)[:n]
+        a_s_v = spmv_pallas(plan, s_fin, interpret=interp)
+        verified = (0.25 * (wsum - jnp.vdot(s_fin, a_s_v))).astype(jnp.float32)
+        it = sc[2].astype(jnp.int32)
+        lcf = lc.reshape(-1)
+        iota = jnp.arange(lcf.shape[0], dtype=jnp.int32)
+        # First minimum over the valid trajectory prefix (engine.best_iteration).
+        best_it = jnp.argmin(jnp.where(iota <= it, lcf, jnp.inf)).astype(
+            jnp.int32
+        )
+        # Replay swaps 1..best_it (each node swaps at most once, so the
+        # scatter is order-free): side(a) -> 1, side(b) -> 0
+        # (engine.replay_swaps), with n as the dropped-pad sentinel row.
+        valid = (iota >= 1) & (iota <= best_it)
+        ia = jnp.where(valid, la.reshape(-1), n)
+        ib = jnp.where(valid, lb.reshape(-1), n)
+        bs = jnp.concatenate(
+            [(s0.reshape(-1)[:n] < 0).astype(jnp.int8), jnp.zeros(1, jnp.int8)]
+        )
+        bs = bs.at[ia].set(1).at[ib].set(0)
+        return verified, best_it, bs[:n], (s_fin < 0).astype(jnp.int8)
+
+    return jax.lax.map(
+        one, (s0_dev, s_out, log_cut, log_a, log_b, scalars.T)
     )
 
 
@@ -731,35 +787,38 @@ def refine_mega_batch(
         gain_eps=config.gain_eps,
         interpret=interpret,
     )
-    s_out_dev = outs[0]
-    # From-scratch verification of every start's final cut (the
-    # gKL.cu:524-530 oracle), batched through the planned SpMV.
-    verified_dev = _batch_init(
-        mg.spmv_plan, wsum, s_out_dev, n=n, P=P, interp=interpret
-    )[1]
-    s_out, _as_out, _free_out, log_cut, log_gain, log_a, log_b, scalars = (
-        jax.device_get(outs)
+    s_out_dev, _as_out, _free_out, log_cut_d, log_gain_d, log_a_d, log_b_d, scalars_d = outs
+    # Device-side verification + best-partition replay, then ONE
+    # device_get for every start's whole result (swap logs and state
+    # arrays never cross the tunnel).
+    ver_d, _best_it_d, best_sides_d, fin_sides_d = _finalize_batch(
+        mg.spmv_plan,
+        wsum,
+        s_dev,
+        s_out_dev,
+        log_cut_d,
+        log_a_d,
+        log_b_d,
+        scalars_d,
+        n=n,
+        P=P,
+        interp=interpret,
     )
-    verified = np.asarray(jax.device_get(verified_dev))
+    scalars, log_cut, log_gain, verified, best_sides_h, fin_sides_h = (
+        jax.device_get(
+            (scalars_d, log_cut_d, log_gain_d, ver_d, best_sides_d, fin_sides_d)
+        )
+    )
     results = []
     for k in range(S):
         sc = scalars[:, k]
         iters = int(sc[2])
         lc = log_cut[k].reshape(-1)
         lg = log_gain[k].reshape(-1)
-        la = log_a[k].reshape(-1)
-        lb = log_b[k].reshape(-1)
-        s_fin = s_out[k].reshape(-1)[:n]
-        final_sides = (s_fin < 0).astype(np.int8)
         results.append(
             KLResult(
-                sides=final_sides,
-                best_sides=replay_swaps(
-                    sides_batch[k],
-                    la[: iters + 1],
-                    lb[: iters + 1],
-                    best_iteration(lc, iters),
-                ),
+                sides=fin_sides_h[k],
+                best_sides=best_sides_h[k],
                 initial_cut=float(sc[6]),
                 final_cut=float(sc[0]),
                 best_cut=float(sc[1]),
@@ -836,12 +895,61 @@ def refine_mega(
     cut = cut0_dev
     best = cut
     term = 0
+    if refresh <= 0:
+        # Fast path: one kernel launch, device-side finalization, ONE
+        # device_get for the whole result (see _finalize_batch).
+        s_out, as_out, _sf_out, log_cut, log_gain, log_a, log_b, scalars = _run(
+            mg.meta_indices,
+            mg.meta_weights,
+            s_dev,
+            a_s,
+            free,
+            jnp.stack([cut, jnp.asarray(best, jnp.float32)]).reshape(1, 2),
+            jnp.asarray([[true_cap, term]], jnp.int32),
+            num_nodes=n,
+            max_iters=max_iters,
+            terminate_limit=terminate_limit,
+            gain_eps=config.gain_eps,
+            interpret=interpret,
+        )
+        ver_d, _bi_d, best_sides_d, fin_sides_d = _finalize_batch(
+            mg.spmv_plan,
+            mg.weighted_degrees.sum(),
+            s_dev[None],
+            s_out[None],
+            log_cut[None],
+            log_a[None],
+            log_b[None],
+            scalars,
+            n=n,
+            P=P,
+            interp=interpret,
+        )
+        sc, lc, lg, verified, best_sides, fin_sides = jax.device_get(
+            (scalars, log_cut, log_gain, ver_d, best_sides_d, fin_sides_d)
+        )
+        sc = sc[:, 0]
+        iterations = int(sc[2])
+        lc = lc.reshape(-1)
+        lg = lg.reshape(-1)
+        return KLResult(
+            sides=fin_sides[0],
+            best_sides=best_sides[0],
+            initial_cut=float(sc[6]),
+            final_cut=float(sc[0]),
+            best_cut=float(sc[1]),
+            verified_cut=float(verified[0]),
+            iterations=iterations,
+            cut_trajectory=lc[: iterations + 1],
+            gain_trajectory=lg[: iterations + 1],
+        )
+
     it_total = 0
     initial_cut = None
     cuts, gains, a_log, b_log = [], [], [], []
     while True:
         this_cap = min(chunk, true_cap - it_total)
-        s_out, as_out, free_out, log_cut, log_gain, log_a, log_b, scalars = _run(
+        s_out, as_out, sf_out, log_cut, log_gain, log_a, log_b, scalars = _run(
             mg.meta_indices,
             mg.meta_weights,
             s_dev,
@@ -871,7 +979,9 @@ def refine_mega(
         a_log.append(la.reshape(-1)[1 : it_chunk + 1])
         b_log.append(lb.reshape(-1)[1 : it_chunk + 1])
         it_total += it_chunk
-        s_dev, free = s_out, free_out
+        # The kernel's third output is sf = s * free; the re-entry free
+        # mask is its support.
+        s_dev, free = s_out, (jnp.abs(sf_out) > 0).astype(jnp.float32)
         if stopped or it_total >= true_cap:
             final_cut = float(sc[0])
             break

@@ -151,6 +151,10 @@ def _kernel(
     ib_ref,
     wa_ref,
     wb_ref,
+    stc_ref,
+    stg_ref,
+    sta_ref,
+    stb_ref,
     rml_ref,
     rmr_ref,
     sems,
@@ -196,10 +200,39 @@ def _kernel(
         cp_a.wait()
         cp_f.wait()
         sf_ref[:] = s_ref[:] * sf_ref[:]
-    log_cut_ref[:] = jnp.zeros_like(log_cut_ref)
-    log_gain_ref[:] = jnp.zeros_like(log_gain_ref)
-    log_a_ref[:] = jnp.zeros_like(log_a_ref)
-    log_b_ref[:] = jnp.zeros_like(log_b_ref)
+    # The trajectory logs live in HBM (they are write-only and can be
+    # half the VMEM budget at 1M nodes); each swap writes into small
+    # (8, 128) VMEM staging buffers that are DMA'd out as a block every
+    # 1024 swaps.  Entries past the final iteration are stale staging
+    # content -- every consumer masks by the iteration count.
+    stc_ref[:] = jnp.zeros_like(stc_ref)
+    stg_ref[:] = jnp.zeros_like(stg_ref)
+    sta_ref[:] = jnp.zeros_like(sta_ref)
+    stb_ref[:] = jnp.zeros_like(stb_ref)
+    if batched:
+        log_off = i * (log_cut_ref.shape[0] // pl.num_programs(0))
+    else:
+        log_off = 0
+
+    def flush_logs(blk):
+        base = log_off + blk * 8
+        cps = [
+            pltpu.make_async_copy(
+                st, hbm.at[pl.ds(base, 8), :], sems.at[4 + k]
+            )
+            for k, (st, hbm) in enumerate(
+                (
+                    (stc_ref, log_cut_ref),
+                    (stg_ref, log_gain_ref),
+                    (sta_ref, log_a_ref),
+                    (stb_ref, log_b_ref),
+                )
+            )
+        ]
+        for cp in cps:
+            cp.start()
+        for cp in cps:
+            cp.wait()
 
     # Scalar params: in batched mode the whole (2, S) SMEM array is
     # visible (Mosaic rejects sub-(8,128) SMEM blocks) and each grid
@@ -214,8 +247,8 @@ def _kernel(
         best0 = fp_ref[0, 1]
         cap0 = ip_ref[0, 0]
         term0 = ip_ref[0, 1]
-    row0 = log_cut_ref[pl.ds(0, 1), :]
-    log_cut_ref[pl.ds(0, 1), :] = jnp.where(lane == 0, cut0, row0)
+    row0 = stc_ref[pl.ds(0, 1), :]
+    stc_ref[pl.ds(0, 1), :] = jnp.where(lane == 0, cut0, row0)
 
     # Hierarchical selection state: cached per-row masked maxima of the
     # D values, one f32 per (R,128)-row per side, laid out flat so each
@@ -385,13 +418,18 @@ def _kernel(
         cut2 = t
         best2 = jnp.minimum(cut2, best_cut)
         it2 = it + 1
-        rmw_set(log_cut_ref, it2 // 128, it2 % 128, cut2)
-        rmw_set(log_gain_ref, it2 // 128, it2 % 128, gain)
+        srow = it2 % 1024
+        rmw_set(stc_ref, srow // 128, srow % 128, cut2)
+        rmw_set(stg_ref, srow // 128, srow % 128, gain)
         # int32 logs: rmw_set with where on int rows.
-        row = log_a_ref[pl.ds(it2 // 128, 1), :]
-        log_a_ref[pl.ds(it2 // 128, 1), :] = jnp.where(lane == it2 % 128, a, row)
-        row = log_b_ref[pl.ds(it2 // 128, 1), :]
-        log_b_ref[pl.ds(it2 // 128, 1), :] = jnp.where(lane == it2 % 128, b, row)
+        row = sta_ref[pl.ds(srow // 128, 1), :]
+        sta_ref[pl.ds(srow // 128, 1), :] = jnp.where(lane == srow % 128, a, row)
+        row = stb_ref[pl.ds(srow // 128, 1), :]
+        stb_ref[pl.ds(srow // 128, 1), :] = jnp.where(lane == srow % 128, b, row)
+
+        @pl.when(srow == 1023)
+        def _():
+            flush_logs(it2 // 1024)
 
         term2 = jnp.where(gain <= gain_eps, term + 1, 0)
         stop2 = (term2 > terminate_limit).astype(jnp.int32)
@@ -419,6 +457,9 @@ def _kernel(
     it, cut, _comp, best_cut, term, nf0, nf1, stop = lax.while_loop(
         cond, body, init
     )
+    # Flush the final (possibly partial) staging block; if the loop
+    # ended exactly on a block boundary this rewrites identical data.
+    flush_logs(it // 1024)
 
     col = i if batched else 0
     out_ref[0, col] = cut
@@ -459,7 +500,8 @@ def _run(
     P = s0.shape[0] * 128
     R = P // 128
     W = meta_idx.shape[1]
-    ml = _round_up(max_iters + 1, 128)
+    # Log length in whole 1024-entry staging blocks (8 rows each).
+    ml = _round_up(max_iters + 1, 1024)
     MLR = ml // 128
     kernel = functools.partial(
         _kernel,
@@ -497,10 +539,14 @@ def _run(
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            # Trajectory logs pinned to HBM (ANY would let Mosaic put
+            # them back in VMEM), written through (8, 128) VMEM staging
+            # blocks (see _kernel.flush_logs): at 1M nodes VMEM-resident
+            # logs would be ~8 MB of the 16 MB budget.
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
             pl.BlockSpec((8, 1), memory_space=pltpu.SMEM),
         ),
         # s0/as0/free0 live in HBM and are DMA'd into the state once
@@ -510,9 +556,13 @@ def _run(
             pltpu.SMEM((8, W), jnp.int32),
             pltpu.SMEM((8, W), jnp.float32),
             pltpu.SMEM((8, W), jnp.float32),
+            pltpu.VMEM((8, 128), jnp.float32),  # log_cut staging
+            pltpu.VMEM((8, 128), jnp.float32),  # log_gain staging
+            pltpu.VMEM((8, 128), jnp.int32),  # log_a staging
+            pltpu.VMEM((8, 128), jnp.int32),  # log_b staging
             pltpu.VMEM((_round_up(P // 128, 128) // 128, 128), jnp.float32),
             pltpu.VMEM((_round_up(P // 128, 128) // 128, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SemaphoreType.DMA((8,)),
         ],
         interpret=interpret,
     )(meta_idx, meta_w, s0, as0, free0, fparams, iparams)
@@ -596,10 +646,12 @@ def _run_batched(
             blk(R),
             blk(R),
             blk(R),
-            blk(MLR),
-            blk(MLR),
-            blk(MLR),
-            blk(MLR),
+            # Logs pinned to HBM, staged through (8, 128) VMEM blocks;
+            # each grid step writes its own MLR-row stripe via program_id.
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
         scratch_shapes=[
@@ -607,9 +659,13 @@ def _run_batched(
             pltpu.SMEM((8, meta_idx.shape[1]), jnp.int32),
             pltpu.SMEM((8, meta_idx.shape[1]), jnp.float32),
             pltpu.SMEM((8, meta_idx.shape[1]), jnp.float32),
+            pltpu.VMEM((8, 128), jnp.float32),  # log_cut staging
+            pltpu.VMEM((8, 128), jnp.float32),  # log_gain staging
+            pltpu.VMEM((8, 128), jnp.int32),  # log_a staging
+            pltpu.VMEM((8, 128), jnp.int32),  # log_b staging
             pltpu.VMEM((_round_up(R, 128) // 128, 128), jnp.float32),
             pltpu.VMEM((_round_up(R, 128) // 128, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SemaphoreType.DMA((8,)),
         ],
         interpret=interpret,
     )(

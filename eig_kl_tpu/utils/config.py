@@ -74,7 +74,16 @@ class SpectralConfig:
         the median-split sign pattern (the quantity the partition
         actually consumes, gKL2.cu:391-414) is unchanged across
         ``stable_checks`` consecutive checks ``check_interval`` steps
-        apart.  "auto" (default) = "sign" for f32, "gkl2" for f64.
+        apart.  "momentum" = Chebyshev/Polyak-accelerated iteration on
+        the symmetrized LAZY walk (I + D^-1/2 A D^-1/2)/2 with an
+        adaptive ellipse edge; it reaches the genuinely-converged
+        dominant deflated mode several times faster, but note the
+        measured quality caveat: the *early-stopped* iterate the
+        reference pipeline effectively uses often median-splits to a
+        BETTER initial cut than the true converged mode (ibm01: 431
+        early vs 740-778 converged), so "sign" remains the default
+        quality-parity choice.  "auto" (default) = "sign" for f32,
+        "gkl2" for f64.
       check_interval: power steps between sign-stability checks.
       stable_checks: consecutive unchanged checks required to stop.
       inter_dtype: dtype of the SpMV's streamed intermediates in the

@@ -132,6 +132,27 @@ def test_power_iteration_fract(fract):
     np.testing.assert_allclose(np.asarray(vec), np.asarray(vec2))
 
 
+def test_power_momentum_fract(fract):
+    """Momentum (lazy-walk Chebyshev) mode: converges to a genuine
+    non-constant mode -- deflated Rayleigh quotient strictly positive
+    (the plain f32 "sign" iterate stays constant-dominated with
+    lam ~ 0) -- and yields a usable balanced split."""
+    g = clique_expand(fract, "kl").to_device(dtype=jnp.float32)
+    cfg = SpectralConfig(solver="power", convergence="momentum")
+    lam, vec = power_iteration_fiedler(g, cfg)
+    assert vec.shape == (fract.num_nodes,)
+    assert np.isfinite(np.asarray(vec)).all()
+    # The returned vector is constant-deflated in the lazy-walk basis;
+    # its normalized-Laplacian Rayleigh quotient must be well away from
+    # the nullspace (fract's true lambda_2(L_rw) ~ 0.21).
+    assert float(lam) > 0.05
+    _, sides = median_split(vec, convention="upper")
+    counts = np.bincount(np.asarray(sides), minlength=2)
+    assert counts.min() >= fract.num_nodes // 2 - 1
+    lam2, vec2 = power_iteration_fiedler(g, cfg)
+    np.testing.assert_allclose(np.asarray(vec), np.asarray(vec2))
+
+
 def test_eig_partition_end_to_end(fract, tmp_path):
     """eig_partition == ./cEIG: result round-trips through the file
     protocol and reproduces the golden eigenvalue."""

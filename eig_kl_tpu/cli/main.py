@@ -186,18 +186,37 @@ def _run_kl(args, fused: bool) -> int:
         on_tpu = jax.default_backend() == "tpu"
         g_host = clique_expand(hg, "kl")
         g = g_host.to_device(dtype=dtype, with_plan=on_tpu)
+        n_dev = len(jax.devices())
         if on_tpu and jnp.dtype(dtype) == jnp.float32:
-            from eig_kl_tpu.parallel.multi_start import multi_start_refine_mega
+            if n_dev > 1 and args.starts % n_dev == 0:
+                # Pod path: start axis dp-sharded, one batched Pallas
+                # launch per chip.
+                from eig_kl_tpu.parallel.multi_start import (
+                    multi_start_refine_mega_sharded,
+                )
 
-            best, cuts = multi_start_refine_mega(
-                g_host,
-                args.starts,
-                config=kl_config,
-                base_seed=args.seed,
-                device_graph=g,
-            )
+                best, cuts = multi_start_refine_mega_sharded(
+                    g_host,
+                    args.starts,
+                    mesh=make_mesh(dp=n_dev),
+                    config=kl_config,
+                    base_seed=args.seed,
+                    device_graph=g,
+                )
+            else:
+                from eig_kl_tpu.parallel.multi_start import (
+                    multi_start_refine_mega,
+                )
+
+                best, cuts = multi_start_refine_mega(
+                    g_host,
+                    args.starts,
+                    config=kl_config,
+                    base_seed=args.seed,
+                    device_graph=g,
+                )
         else:
-            dp = len(jax.devices())
+            dp = n_dev
             mesh = make_mesh(dp=dp) if args.starts % dp == 0 and dp > 1 else None
             best, cuts = multi_start_refine(
                 g, args.starts, config=kl_config, mesh=mesh, base_seed=args.seed

@@ -147,3 +147,158 @@ def multi_start_refine_mega(
     cuts = np.asarray([r.best_cut for r in results])
     best = results[int(np.argmin(cuts))]
     return best, cuts
+
+
+def multi_start_refine_mega_sharded(
+    graph,
+    num_starts: int,
+    *,
+    mesh: Mesh,
+    config: KLConfig = KLConfig(),
+    base_seed: int = 0,
+    device_graph=None,
+    interpret: bool | None = None,
+) -> tuple[KLResult, np.ndarray]:
+    """Pod-scale multi-start: the start axis sharded over the mesh's
+    "dp" axis, each chip running its local starts through the batched
+    single-kernel Pallas engine (one grid launch per chip, zero
+    cross-chip communication until the host-side best-cut argmin).
+
+    This is the production way to use a multi-chip mesh for KL quality:
+    per-swap latency stays at the single-chip mega-kernel's ~3-5 us
+    (sharding the swap loop itself pays a ~1 us ICI collective floor
+    4x per swap, see README "Multi-chip performance design"), and
+    throughput scales linearly in chips.
+
+    Requires ``num_starts`` divisible by the "dp" axis size.
+    """
+    from eig_kl_tpu.kl import megakernel as mk
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    dp = mesh.shape["dp"]
+    if num_starts % dp != 0:
+        raise ValueError(
+            f"num_starts={num_starts} must be divisible by dp={dp}"
+        )
+    if config.refresh_interval > 0:
+        raise ValueError("refresh_interval unsupported in batched mode")
+    n = graph.num_nodes
+    mg = mk.MegaGraph(
+        graph,
+        plan=getattr(device_graph, "plan", None),
+        device_graph=device_graph,
+    )
+    sides_batch = np.stack(
+        [random_split(n, base_seed + i) for i in range(num_starts)]
+    )
+    Pn = mk._round_up(mg.padded_nodes, 1024)
+    R = Pn // 128
+    S = num_starts
+    caps, naturals = [], []
+    for k in range(S):
+        n1 = int(sides_batch[k].astype(np.int64).sum())
+        natural = min(n - n1, n1)
+        naturals.append(natural)
+        caps.append(
+            natural
+            if config.max_iterations is None
+            else min(config.max_iterations, natural)
+        )
+    max_iters = min(
+        mk._round_up(max(max(caps), 1), 4096), max(max(naturals), 1)
+    )
+    terminate_limit = config.terminate_limit(n)
+    gain_eps = config.gain_eps
+
+    s_host = np.ones((S, Pn), dtype=np.float32)
+    s_host[:, :n] = 1.0 - 2.0 * sides_batch.astype(np.float32)
+    shard3 = NamedSharding(mesh, P("dp", None, None))
+    s_dev = jax.device_put(
+        jnp.asarray(s_host.reshape(S, R, 128)), shard3
+    )
+    free = jax.device_put(
+        jnp.broadcast_to(
+            (jnp.arange(Pn, dtype=jnp.int32) < n)
+            .astype(jnp.float32)
+            .reshape(1, R, 128),
+            (S, R, 128),
+        ),
+        shard3,
+    )
+    caps_dev = jax.device_put(
+        jnp.asarray(caps, jnp.int32), NamedSharding(mesh, P("dp"))
+    )
+    wsum = mg.weighted_degrees.sum()
+
+    def local(meta_idx, meta_w, plan, wsum, s_loc, free_loc, caps_loc):
+        a_s, cut0 = mk._batch_init(
+            plan, wsum, s_loc, n=n, P=Pn, interp=interpret
+        )
+        fparams = jnp.stack([cut0, cut0], axis=0)
+        iparams = jnp.stack(
+            [caps_loc, jnp.zeros_like(caps_loc)], axis=0
+        )
+        outs = mk._run_batched(
+            meta_idx,
+            meta_w,
+            s_loc,
+            a_s,
+            free_loc,
+            fparams,
+            iparams,
+            num_nodes=n,
+            max_iters=max_iters,
+            terminate_limit=terminate_limit,
+            gain_eps=gain_eps,
+            interpret=interpret,
+        )
+        s_out, _as_out, _sf_out, lc, lg, la, lb, sc = outs
+        ver, _bi, bs, fs = mk._finalize_batch(
+            plan, wsum, s_loc, s_out, lc, la, lb, sc, n=n, P=Pn,
+            interp=interpret,
+        )
+        return sc, lc, lg, ver, bs, fs
+
+    sharded = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P("dp", None, None),
+                  P("dp", None, None), P("dp")),
+        out_specs=(P(None, "dp"), P("dp", None, None),
+                   P("dp", None, None), P("dp"), P("dp", None),
+                   P("dp", None)),
+        check_vma=False,
+    )
+    sc, lc, lg, ver, bs, fs = jax.device_get(
+        sharded(
+            mg.meta_indices,
+            mg.meta_weights,
+            mg.spmv_plan,
+            wsum,
+            s_dev,
+            free,
+            caps_dev,
+        )
+    )
+    results = []
+    for k in range(S):
+        col = sc[:, k]
+        iters = int(col[2])
+        lck = lc[k].reshape(-1)
+        results.append(
+            KLResult(
+                sides=fs[k],
+                best_sides=bs[k],
+                initial_cut=float(col[6]),
+                final_cut=float(col[0]),
+                best_cut=float(col[1]),
+                verified_cut=float(ver[k]),
+                iterations=iters,
+                cut_trajectory=lck[: iters + 1],
+                gain_trajectory=lg[k].reshape(-1)[: iters + 1],
+            )
+        )
+    cuts = np.asarray([r.best_cut for r in results])
+    best = results[int(np.argmin(cuts))]
+    return best, cuts

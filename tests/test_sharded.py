@@ -91,6 +91,27 @@ def test_multi_start_sharded_over_dp(problem):
     assert best_m.best_cut == pytest.approx(best_r.best_cut)
 
 
+def test_multi_start_mega_sharded_matches_batched(problem):
+    """The dp-sharded batched mega-kernel multi-start (one Pallas grid
+    launch per chip) reproduces the single-chip batched engine exactly
+    on every start."""
+    from eig_kl_tpu.parallel.multi_start import (
+        multi_start_refine_mega,
+        multi_start_refine_mega_sharded,
+    )
+
+    g_host, _sides = problem
+    mesh = make_mesh(8, dp=8)
+    best_s, cuts_s = multi_start_refine_mega_sharded(
+        g_host, 8, mesh=mesh, base_seed=5
+    )
+    best_b, cuts_b = multi_start_refine_mega(g_host, 8, base_seed=5)
+    np.testing.assert_allclose(cuts_s, cuts_b, rtol=1e-5)
+    assert best_s.best_cut == pytest.approx(best_b.best_cut)
+    np.testing.assert_array_equal(best_s.best_sides, best_b.best_sides)
+    assert abs(best_s.verified_cut - best_s.final_cut) < 1e-3
+
+
 class TestShardedPower:
     def test_matches_single_chip_power(self, rng):
         """The mp-sharded power iteration reproduces the single-chip

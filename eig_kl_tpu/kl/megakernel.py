@@ -8,8 +8,10 @@ swap at ~380 us.  This module instead compiles the *entire* refinement
 -- selection, swap, incremental update, logging, termination -- into ONE
 Pallas kernel where:
 
-* the partition state (signs ``s``, cached ``A @ s``, free mask) lives
-  in VMEM for the whole run, shaped ``(R, 128)`` for the VPU;
+* the whole per-node state is TWO (R, 128) f32 VMEM arrays -- sf =
+  sign * free (selection + the chosen nodes' signs) and the cached
+  ``A @ s`` -- 8 bytes/node, so one chip refines up to ~1.9M nodes;
+  the final/best partitions are replayed from the swap log on device;
 * node selection is two masked max-reductions plus an index-recovery
   min-reduction (first-max tie-breaking, matching ``jnp.argmax`` and the
   reference's strict ``>`` scans, cKL.cpp:341-347);
@@ -132,14 +134,11 @@ class MegaGraph:
 def _kernel(
     idx_hbm,
     w_hbm,
-    s0_ref,
+    sf0_ref,
     as0_ref,
-    free0_ref,
     fp_ref,
     ip_ref,
     # outputs
-    s_ref,
-    as_ref,
     sf_ref,
     log_cut_ref,
     log_gain_ref,
@@ -147,6 +146,7 @@ def _kernel(
     log_b_ref,
     out_ref,
     # scratch
+    as_ref,
     ia_ref,
     ib_ref,
     wa_ref,
@@ -166,40 +166,33 @@ def _kernel(
     hierarchical: bool,
     batched: bool = False,
 ):
-    R = s_ref.shape[0]
+    R = sf_ref.shape[0]
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
     big_i = jnp.int32(R * 128)
 
-    # State init: copy inputs into the persistent VMEM state.  The free
-    # mask arrives as data (padding n..P pre-locked, plus any nodes
-    # locked by an earlier chunk when running with refresh_interval).
-    # In batched (multi-start) mode the grid iterates over starts;
-    # each step's (R, 128) state slice arrives as a pipelined VMEM
-    # input block and is copied with vector stores (a manual DMA into
-    # a squeezed grid-blocked output ref trips a Mosaic shape-
-    # verification bug).
-    # Combined side-and-free state: sf = s * free (0 = locked, else the
-    # sign).  Selection needs only (sf, a_s) -- for sf != 0,
-    # -(sf * a_s) == -(s * a_s) == D -- halving the arrays the per-swap
-    # scan reads and dropping the two mask AND passes.  sf is itself the
-    # third output (free = sf != 0 recovered outside the kernel), so it
-    # costs no extra VMEM.
+    # The ENTIRE per-node state is two (R, 128) f32 arrays:
+    #   sf  = side-sign * free  (0 = locked/padding, else +-1) -- the
+    #         only thing selection reads besides a_s, and the sign
+    #         source for the chosen nodes (they are free by
+    #         construction, so sf IS their sign);
+    #   a_s = cached A @ s (scratch; re-derivable, never written back).
+    # There is NO separate signs array: final and best partitions are
+    # both replayed from the swap log on device (_finalize_batch), so
+    # the kernel's VMEM budget is 8 bytes/node -- ~2M nodes/chip.
+    # In batched (multi-start) mode the grid iterates over starts and
+    # each step's state slice arrives as a pipelined VMEM input block;
+    # single-start DMAs the HBM inputs once.
     if batched:
         i = pl.program_id(0)
-        s_ref[:] = s0_ref[:]
+        sf_ref[:] = sf0_ref[:]
         as_ref[:] = as0_ref[:]
-        sf_ref[:] = s0_ref[:] * free0_ref[:]
     else:
-        cp_s = pltpu.make_async_copy(s0_ref, s_ref, sems.at[0])
+        cp_f = pltpu.make_async_copy(sf0_ref, sf_ref, sems.at[0])
         cp_a = pltpu.make_async_copy(as0_ref, as_ref, sems.at[1])
-        cp_f = pltpu.make_async_copy(free0_ref, sf_ref, sems.at[2])
-        cp_s.start()
-        cp_a.start()
         cp_f.start()
-        cp_s.wait()
-        cp_a.wait()
+        cp_a.start()
         cp_f.wait()
-        sf_ref[:] = s_ref[:] * sf_ref[:]
+        cp_a.wait()
     # The trajectory logs live in HBM (they are write-only and can be
     # half the VMEM budget at 1M nodes); each swap writes into small
     # (8, 128) VMEM staging buffers that are DMA'd out as a block every
@@ -358,8 +351,9 @@ def _kernel(
 
         q_a, l_a = a // 128, a % 128
         q_b, l_b = b // 128, b % 128
-        s_a = scalar_at(s_ref, q_a, l_a)
-        s_b = scalar_at(s_ref, q_b, l_b)
+        # Chosen nodes are free, so sf carries their exact sign.
+        s_a = scalar_at(sf_ref, q_a, l_a)
+        s_b = scalar_at(sf_ref, q_b, l_b)
 
         cp0.wait()
         cp1.wait()
@@ -401,9 +395,8 @@ def _kernel(
 
         lax.fori_loop(1, deg_b + 1, loop_b, 0)
 
-        # Flip and lock both nodes (sf -> 0 covers both side and lock).
-        rmw_set(s_ref, q_a, l_a, -s_a)
-        rmw_set(s_ref, q_b, l_b, -s_b)
+        # Flip and lock both nodes: sf -> 0 covers side, lock, and
+        # (via the swap log) the eventual replayed partitions.
         rmw_set(sf_ref, q_a, l_a, 0.0)
         rmw_set(sf_ref, q_b, l_b, 0.0)
         row_maxes(q_a)
@@ -485,9 +478,8 @@ def _kernel(
 def _run(
     meta_idx,
     meta_w,
-    s0,
+    sf0,
     as0,
-    free0,
     fparams,
     iparams,
     *,
@@ -497,7 +489,7 @@ def _run(
     gain_eps: float,
     interpret: bool = False,
 ):
-    P = s0.shape[0] * 128
+    P = sf0.shape[0] * 128
     R = P // 128
     W = meta_idx.shape[1]
     # Log length in whole 1024-entry staging blocks (8 rows each).
@@ -517,8 +509,6 @@ def _run(
     return pl.pallas_call(
         kernel,
         out_shape=(
-            jax.ShapeDtypeStruct((R, 128), jnp.float32),  # s
-            jax.ShapeDtypeStruct((R, 128), jnp.float32),  # a_s
             jax.ShapeDtypeStruct((R, 128), jnp.float32),  # sf = s * free
             jax.ShapeDtypeStruct((MLR, 128), jnp.float32),  # log_cut
             jax.ShapeDtypeStruct((MLR, 128), jnp.float32),  # log_gain
@@ -529,15 +519,12 @@ def _run(
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # idx rows stay in HBM
             pl.BlockSpec(memory_space=pl.ANY),  # weight rows stay in HBM
-            pl.BlockSpec(memory_space=pl.ANY),  # s0: DMA'd into state
-            pl.BlockSpec(memory_space=pl.ANY),  # a_s0: DMA'd into state
-            pl.BlockSpec(memory_space=pl.ANY),  # free0: DMA'd into state
+            pl.BlockSpec(memory_space=pl.ANY),  # sf0: DMA'd into state
+            pl.BlockSpec(memory_space=pl.ANY),  # a_s0: DMA'd into scratch
             pl.BlockSpec((1, 2), memory_space=pltpu.SMEM),  # [cut0, best0]
             pl.BlockSpec((1, 2), memory_space=pltpu.SMEM),  # [cap, term0]
         ],
         out_specs=(
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             # Trajectory logs pinned to HBM (ANY would let Mosaic put
             # them back in VMEM), written through (8, 128) VMEM staging
@@ -549,9 +536,10 @@ def _run(
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
             pl.BlockSpec((8, 1), memory_space=pltpu.SMEM),
         ),
-        # s0/as0/free0 live in HBM and are DMA'd into the state once
-        # (VMEM inputs would double-count against the 16 MB budget).
+        # sf0/as0 live in HBM and are DMA'd into the state once (VMEM
+        # inputs would double-count against the 16 MB budget).
         scratch_shapes=[
+            pltpu.VMEM((R, 128), jnp.float32),  # a_s state (scratch)
             pltpu.SMEM((8, W), jnp.int32),
             pltpu.SMEM((8, W), jnp.int32),
             pltpu.SMEM((8, W), jnp.float32),
@@ -565,7 +553,7 @@ def _run(
             pltpu.SemaphoreType.DMA((8,)),
         ],
         interpret=interpret,
-    )(meta_idx, meta_w, s0, as0, free0, fparams, iparams)
+    )(meta_idx, meta_w, sf0, as0, fparams, iparams)
 
 
 @functools.partial(
@@ -581,9 +569,8 @@ def _run(
 def _run_batched(
     meta_idx,
     meta_w,
-    s0,      # (S, R, 128)
+    sf0,      # (S, R, 128)
     as0,
-    free0,
     fparams,  # (2, S): [cut0; best0]
     iparams,  # (2, S): [cap; term0]
     *,
@@ -599,7 +586,7 @@ def _run_batched(
     travel flattened to (S*R, 128) / (S*MLR, 128) so every block is a
     plain 2D (rows, 128) tile -- squeezed 3D blocks lower to rank-3
     memrefs whose per-row VMEM ops are measurably slower in Mosaic."""
-    S, R = s0.shape[0], s0.shape[1]
+    S, R = sf0.shape[0], sf0.shape[1]
     P = R * 128
     # Grid-blocked (rows, 128) tiles need rows % 8 == 0 (Mosaic block
     # granularity) whenever S > 1, so the log length rounds to 1024
@@ -616,12 +603,10 @@ def _run_batched(
         batched=True,
     )
     blk = lambda rows: pl.BlockSpec((rows, 128), lambda i: (i, 0))
-    s_out, as_out, f_out, lc, lg, la, lb, sc = pl.pallas_call(
+    sf_out, lc, lg, la, lb, sc = pl.pallas_call(
         kernel,
         grid=(S,),
         out_shape=(
-            jax.ShapeDtypeStruct((S * R, 128), jnp.float32),  # s
-            jax.ShapeDtypeStruct((S * R, 128), jnp.float32),  # a_s
             jax.ShapeDtypeStruct((S * R, 128), jnp.float32),  # sf = s * free
             jax.ShapeDtypeStruct((S * MLR, 128), jnp.float32),  # log_cut
             jax.ShapeDtypeStruct((S * MLR, 128), jnp.float32),  # log_gain
@@ -632,9 +617,8 @@ def _run_batched(
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # idx rows stay in HBM
             pl.BlockSpec(memory_space=pl.ANY),  # weight rows stay in HBM
-            blk(R),  # s0: per-start pipelined VMEM block
+            blk(R),  # sf0: per-start pipelined VMEM block
             blk(R),  # a_s0
-            blk(R),  # free0
             # Scalar params travel as whole (2, S) SMEM arrays; Mosaic
             # rejects SMEM blocks smaller than the array unless the
             # trailing dims are (8, 128)-aligned, so each grid step
@@ -643,8 +627,6 @@ def _run_batched(
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=(
-            blk(R),
-            blk(R),
             blk(R),
             # Logs pinned to HBM, staged through (8, 128) VMEM blocks;
             # each grid step writes its own MLR-row stripe via program_id.
@@ -655,6 +637,7 @@ def _run_batched(
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
         scratch_shapes=[
+            pltpu.VMEM((R, 128), jnp.float32),  # a_s state (scratch)
             pltpu.SMEM((8, meta_idx.shape[1]), jnp.int32),
             pltpu.SMEM((8, meta_idx.shape[1]), jnp.int32),
             pltpu.SMEM((8, meta_idx.shape[1]), jnp.float32),
@@ -671,16 +654,13 @@ def _run_batched(
     )(
         meta_idx,
         meta_w,
-        s0.reshape(S * R, 128),
+        sf0.reshape(S * R, 128),
         as0.reshape(S * R, 128),
-        free0.reshape(S * R, 128),
         fparams,
         iparams,
     )
     return (
-        s_out.reshape(S, R, 128),
-        as_out.reshape(S, R, 128),
-        f_out.reshape(S, R, 128),
+        sf_out.reshape(S, R, 128),
         lc.reshape(S, MLR, 128),
         lg.reshape(S, MLR, 128),
         la.reshape(S, MLR, 128),
@@ -691,22 +671,22 @@ def _run_batched(
 
 @functools.partial(jax.jit, static_argnames=("n", "P", "interp"))
 def _finalize_batch(
-    plan, wsum, s0_dev, s_out, log_cut, log_a, log_b, scalars, *, n, P, interp
+    plan, wsum, sf0_dev, log_cut, log_a, log_b, scalars, *, n, P, interp
 ):
     """Device-side result post-processing for a (possibly S=1) stack of
     runs: from-scratch cut verification (the gKL.cu:524-530 oracle),
-    first-argmin best iteration, and the best partition replayed by
-    masked scatter from the swap log.  Packing all of this on device
-    lets the host retrieve a whole KLResult in ONE device_get -- the
-    tunnel charges ~30 ms per transfer call, which at 200K nodes was
-    ~45% of refinement wall time when the logs, states, and verification
-    came back as separate fetches."""
+    first-argmin best iteration, and BOTH the final and best partitions
+    replayed by masked scatter from the swap log (the kernel keeps no
+    signs array -- sf zeroes on lock -- so the log is the authoritative
+    record; each node swaps at most once, making the scatter
+    order-free).  Packing all of this on device lets the host retrieve
+    a whole KLResult in ONE device_get -- the tunnel charges ~30 ms per
+    transfer call, which at 200K nodes was ~45% of refinement wall time
+    when the logs, states, and verification came back as separate
+    fetches."""
 
     def one(args):
-        s0, s2d, lc, la, lb, sc = args
-        s_fin = s2d.reshape(-1)[:n]
-        a_s_v = spmv_pallas(plan, s_fin, interpret=interp)
-        verified = (0.25 * (wsum - jnp.vdot(s_fin, a_s_v))).astype(jnp.float32)
+        sf0, lc, la, lb, sc = args
         it = sc[2].astype(jnp.int32)
         lcf = lc.reshape(-1)
         iota = jnp.arange(lcf.shape[0], dtype=jnp.int32)
@@ -714,20 +694,31 @@ def _finalize_batch(
         best_it = jnp.argmin(jnp.where(iota <= it, lcf, jnp.inf)).astype(
             jnp.int32
         )
-        # Replay swaps 1..best_it (each node swaps at most once, so the
-        # scatter is order-free): side(a) -> 1, side(b) -> 0
-        # (engine.replay_swaps), with n as the dropped-pad sentinel row.
-        valid = (iota >= 1) & (iota <= best_it)
-        ia = jnp.where(valid, la.reshape(-1), n)
-        ib = jnp.where(valid, lb.reshape(-1), n)
-        bs = jnp.concatenate(
-            [(s0.reshape(-1)[:n] < 0).astype(jnp.int8), jnp.zeros(1, jnp.int8)]
+        sides0 = jnp.concatenate(
+            [
+                (sf0.reshape(-1)[:n] < 0).astype(jnp.int8),
+                jnp.zeros(1, jnp.int8),  # dropped-pad sentinel row
+            ]
         )
-        bs = bs.at[ia].set(1).at[ib].set(0)
-        return verified, best_it, bs[:n], (s_fin < 0).astype(jnp.int8)
+        laf = la.reshape(-1)
+        lbf = lb.reshape(-1)
+
+        def replay(upto):
+            # Swaps 1..upto: side(a) -> 1, side(b) -> 0 (engine.replay_swaps).
+            valid = (iota >= 1) & (iota <= upto)
+            ia = jnp.where(valid, laf, n)
+            ib = jnp.where(valid, lbf, n)
+            return sides0.at[ia].set(1).at[ib].set(0)[:n]
+
+        bs = replay(best_it)
+        fs = replay(it)
+        s_fin = 1.0 - 2.0 * fs.astype(jnp.float32)
+        a_s_v = spmv_pallas(plan, s_fin, interpret=interp)
+        verified = (0.25 * (wsum - jnp.vdot(s_fin, a_s_v))).astype(jnp.float32)
+        return verified, best_it, bs, fs
 
     return jax.lax.map(
-        one, (s0_dev, s_out, log_cut, log_a, log_b, scalars.T)
+        one, (sf0_dev, log_cut, log_a, log_b, scalars.T)
     )
 
 
@@ -807,22 +798,17 @@ def refine_mega_batch(
     max_iters = min(_round_up(max(max(caps), 1), 4096), max(max(naturals), 1))
     terminate_limit = config.terminate_limit(n)
 
-    s_host = np.ones((S, P), dtype=np.float32)
-    s_host[:, :n] = 1.0 - 2.0 * sides_batch.astype(np.float32)
-    s_dev = jnp.asarray(s_host.reshape(S, R, 128))
-    free = jnp.broadcast_to(
-        (jnp.arange(P, dtype=jnp.int32) < n)
-        .astype(jnp.float32)
-        .reshape(1, R, 128),
-        (S, R, 128),
-    )
+    # sf0 = sign * free: +-1 on real (all-free) nodes, 0 on padding.
+    sf_host = np.zeros((S, P), dtype=np.float32)
+    sf_host[:, :n] = 1.0 - 2.0 * sides_batch.astype(np.float32)
+    sf_dev = jnp.asarray(sf_host.reshape(S, R, 128))
 
     # Batched initial A @ s + cut through the planned SpMV (module-level
     # jit, NOT a local closure: a per-call closure would be a fresh jit
     # function every time and recompile ~4 s on each invocation).
     wsum = mg.weighted_degrees.sum()
     a_s, cut0 = _batch_init(
-        mg.spmv_plan, wsum, s_dev, n=n, P=P, interp=interpret
+        mg.spmv_plan, wsum, sf_dev, n=n, P=P, interp=interpret
     )
     fparams = jnp.stack([cut0, cut0], axis=0)  # (2, S): [cut0; best0]
     iparams = jnp.asarray(
@@ -832,9 +818,8 @@ def refine_mega_batch(
     outs = _run_batched(
         mg.meta_indices,
         mg.meta_weights,
-        s_dev,
+        sf_dev,
         a_s,
-        free,
         fparams,
         iparams,
         num_nodes=n,
@@ -843,15 +828,14 @@ def refine_mega_batch(
         gain_eps=config.gain_eps,
         interpret=interpret,
     )
-    s_out_dev, _as_out, _free_out, log_cut_d, log_gain_d, log_a_d, log_b_d, scalars_d = outs
-    # Device-side verification + best-partition replay, then ONE
+    _sf_out, log_cut_d, log_gain_d, log_a_d, log_b_d, scalars_d = outs
+    # Device-side verification + both-partition replay, then ONE
     # device_get for every start's whole result (swap logs and state
     # arrays never cross the tunnel).
     ver_d, _best_it_d, best_sides_d, fin_sides_d = _finalize_batch(
         mg.spmv_plan,
         wsum,
-        s_dev,
-        s_out_dev,
+        sf_dev,
         log_cut_d,
         log_a_d,
         log_b_d,
@@ -928,40 +912,32 @@ def refine_mega(
     max_iters = min(_round_up(max(chunk, 1), 4096), max(natural_cap, 1))
     terminate_limit = config.terminate_limit(n)
 
-    s_host = np.ones(P, dtype=np.float32)
-    s_host[:n] = 1.0 - 2.0 * sides.astype(np.float32)
-    s_dev = jnp.asarray(s_host.reshape(R, 128))
-    free = (
-        (jnp.arange(P, dtype=jnp.int32) < n)
-        .astype(jnp.float32)
-        .reshape(R, 128)
-    )
+    wsum = mg.weighted_degrees.sum()
 
     def fresh_as_cut(s2d):
         """From-scratch A @ s (padded) and cut via the planned SpMV."""
         s_flat = s2d.reshape(-1)[:n]
         a_s_n = spmv_pallas(mg.spmv_plan, s_flat, interpret=interpret)
         a_s2d = jnp.zeros(P, jnp.float32).at[:n].set(a_s_n).reshape(R, 128)
-        cut = 0.25 * (
-            mg.weighted_degrees.sum() - jnp.vdot(s_flat, a_s_n)
-        ).astype(jnp.float32)
+        cut = 0.25 * (wsum - jnp.vdot(s_flat, a_s_n)).astype(jnp.float32)
         return a_s2d, cut
 
-    a_s, cut0_dev = fresh_as_cut(s_dev)
-    cut = cut0_dev
-    best = cut
-    term = 0
     if refresh <= 0:
         # Fast path: one kernel launch, device-side finalization, ONE
-        # device_get for the whole result (see _finalize_batch).
-        s_out, as_out, _sf_out, log_cut, log_gain, log_a, log_b, scalars = _run(
+        # device_get for the whole result (see _finalize_batch).  With
+        # every real node initially free, sf0 == the sign vector, so it
+        # also seeds the initial A @ s / cut.
+        sf_host = np.zeros(P, dtype=np.float32)
+        sf_host[:n] = 1.0 - 2.0 * sides.astype(np.float32)
+        sf_dev = jnp.asarray(sf_host.reshape(R, 128))
+        a_s, cut0_dev = fresh_as_cut(sf_dev)
+        _sf_out, log_cut, log_gain, log_a, log_b, scalars = _run(
             mg.meta_indices,
             mg.meta_weights,
-            s_dev,
+            sf_dev,
             a_s,
-            free,
-            jnp.stack([cut, jnp.asarray(best, jnp.float32)]).reshape(1, 2),
-            jnp.asarray([[true_cap, term]], jnp.int32),
+            jnp.stack([cut0_dev, cut0_dev]).reshape(1, 2),
+            jnp.asarray([[true_cap, 0]], jnp.int32),
             num_nodes=n,
             max_iters=max_iters,
             terminate_limit=terminate_limit,
@@ -970,9 +946,8 @@ def refine_mega(
         )
         ver_d, _bi_d, best_sides_d, fin_sides_d = _finalize_batch(
             mg.spmv_plan,
-            mg.weighted_degrees.sum(),
-            s_dev[None],
-            s_out[None],
+            wsum,
+            sf_dev[None],
             log_cut[None],
             log_a[None],
             log_b[None],
@@ -1000,18 +975,35 @@ def refine_mega(
             gain_trajectory=lg[: iterations + 1],
         )
 
+    # Refresh path: re-enter the kernel every `refresh` swaps with a
+    # from-scratch A @ s and cut (the stronger form of the reference's
+    # disabled verifyAndCorrectCutSize, gKL.cu:368-382).  The host keeps
+    # the authoritative partition/lock state by replaying each chunk's
+    # swap log; sf0 for the next chunk is rebuilt from it.
+    sides_cur = sides.copy()
+    free_mask = np.ones(n, dtype=bool)
+    best = None
+    term = 0
     it_total = 0
     initial_cut = None
     cuts, gains, a_log, b_log = [], [], [], []
     while True:
         this_cap = min(chunk, true_cap - it_total)
-        s_out, as_out, sf_out, log_cut, log_gain, log_a, log_b, scalars = _run(
+        s_full = np.zeros(P, np.float32)
+        s_full[:n] = 1.0 - 2.0 * sides_cur.astype(np.float32)
+        a_s, cut_dev = fresh_as_cut(jnp.asarray(s_full.reshape(R, 128)))
+        sf_host = np.zeros(P, np.float32)
+        sf_host[:n] = (1.0 - 2.0 * sides_cur.astype(np.float32)) * free_mask
+        sf_dev = jnp.asarray(sf_host.reshape(R, 128))
+        best_arr = (
+            cut_dev if best is None else jnp.asarray(best, jnp.float32)
+        )
+        _sf_out, log_cut, log_gain, log_a, log_b, scalars = _run(
             mg.meta_indices,
             mg.meta_weights,
-            s_dev,
+            sf_dev,
             a_s,
-            free,
-            jnp.stack([cut, jnp.asarray(best, jnp.float32)]).reshape(1, 2),
+            jnp.stack([cut_dev, best_arr]).reshape(1, 2),
             jnp.asarray([[this_cap, term]], jnp.int32),
             num_nodes=n,
             max_iters=max_iters,
@@ -1026,44 +1018,44 @@ def refine_mega(
         it_chunk = int(sc[2])
         if initial_cut is None:
             initial_cut = float(sc[6])
-        best = min(float(sc[1]), float(best))
+        best = (
+            float(sc[1]) if best is None else min(float(sc[1]), float(best))
+        )
         term = int(sc[3])
         stopped = bool(sc[7]) or int(sc[4]) == 0 or int(sc[5]) == 0
         lo = 0 if it_total == 0 else 1  # later chunks repeat the entry row
         cuts.append(lc.reshape(-1)[lo : it_chunk + 1])
         gains.append(lg.reshape(-1)[lo : it_chunk + 1])
-        a_log.append(la.reshape(-1)[1 : it_chunk + 1])
-        b_log.append(lb.reshape(-1)[1 : it_chunk + 1])
+        la_chunk = la.reshape(-1)[1 : it_chunk + 1]
+        lb_chunk = lb.reshape(-1)[1 : it_chunk + 1]
+        a_log.append(la_chunk)
+        b_log.append(lb_chunk)
+        # Replay this chunk into the host partition/lock state.
+        sides_cur[la_chunk] = 1
+        sides_cur[lb_chunk] = 0
+        free_mask[la_chunk] = False
+        free_mask[lb_chunk] = False
         it_total += it_chunk
-        # The kernel's third output is sf = s * free; the re-entry free
-        # mask is its support.
-        s_dev, free = s_out, (jnp.abs(sf_out) > 0).astype(jnp.float32)
         if stopped or it_total >= true_cap:
             final_cut = float(sc[0])
             break
-        # Refresh: resync the cached A @ s and the incremental cut from
-        # scratch before the next chunk.
-        a_s, cut = fresh_as_cut(s_dev)
     iterations = it_total
 
     # From-scratch verification of the incrementally-tracked cut -- the
-    # gKL.cu:524-530 oracle -- computed on device from the final signs.
-    s_fin_dev = s_dev.reshape(-1)[:n]
-    a_s_v = spmv_pallas(mg.spmv_plan, s_fin_dev, interpret=interpret)
-    verified_dev = 0.25 * (
-        mg.weighted_degrees.sum() - jnp.vdot(s_fin_dev, a_s_v)
+    # gKL.cu:524-530 oracle -- on the replayed final partition.
+    s_fin = jnp.asarray(1.0 - 2.0 * sides_cur.astype(np.float32))
+    a_s_v = spmv_pallas(mg.spmv_plan, s_fin, interpret=interpret)
+    verified = float(
+        jax.device_get(0.25 * (wsum - jnp.vdot(s_fin, a_s_v)))
     )
-    s_final, verified = jax.device_get((s_fin_dev, verified_dev))
-    final_sides = (s_final < 0).astype(np.int8)
     log_cut = np.concatenate(cuts) if cuts else np.zeros(1, np.float32)
     log_gain = np.concatenate(gains) if gains else np.zeros(1, np.float32)
     log_a = np.concatenate([np.zeros(1, np.int32)] + a_log)
     log_b = np.concatenate([np.zeros(1, np.int32)] + b_log)
-    verified = float(verified)
     best_cut = float(best)
 
     return KLResult(
-        sides=final_sides,
+        sides=sides_cur.copy(),
         best_sides=replay_swaps(
             sides, log_a, log_b, best_iteration(log_cut, iterations)
         ),

@@ -211,29 +211,20 @@ def multi_start_refine_mega_sharded(
     terminate_limit = config.terminate_limit(n)
     gain_eps = config.gain_eps
 
-    s_host = np.ones((S, Pn), dtype=np.float32)
-    s_host[:, :n] = 1.0 - 2.0 * sides_batch.astype(np.float32)
+    sf_host = np.zeros((S, Pn), dtype=np.float32)
+    sf_host[:, :n] = 1.0 - 2.0 * sides_batch.astype(np.float32)
     shard3 = NamedSharding(mesh, P("dp", None, None))
-    s_dev = jax.device_put(
-        jnp.asarray(s_host.reshape(S, R, 128)), shard3
-    )
-    free = jax.device_put(
-        jnp.broadcast_to(
-            (jnp.arange(Pn, dtype=jnp.int32) < n)
-            .astype(jnp.float32)
-            .reshape(1, R, 128),
-            (S, R, 128),
-        ),
-        shard3,
+    sf_dev = jax.device_put(
+        jnp.asarray(sf_host.reshape(S, R, 128)), shard3
     )
     caps_dev = jax.device_put(
         jnp.asarray(caps, jnp.int32), NamedSharding(mesh, P("dp"))
     )
     wsum = mg.weighted_degrees.sum()
 
-    def local(meta_idx, meta_w, plan, wsum, s_loc, free_loc, caps_loc):
+    def local(meta_idx, meta_w, plan, wsum, sf_loc, caps_loc):
         a_s, cut0 = mk._batch_init(
-            plan, wsum, s_loc, n=n, P=Pn, interp=interpret
+            plan, wsum, sf_loc, n=n, P=Pn, interp=interpret
         )
         fparams = jnp.stack([cut0, cut0], axis=0)
         iparams = jnp.stack(
@@ -242,9 +233,8 @@ def multi_start_refine_mega_sharded(
         outs = mk._run_batched(
             meta_idx,
             meta_w,
-            s_loc,
+            sf_loc,
             a_s,
-            free_loc,
             fparams,
             iparams,
             num_nodes=n,
@@ -253,9 +243,9 @@ def multi_start_refine_mega_sharded(
             gain_eps=gain_eps,
             interpret=interpret,
         )
-        s_out, _as_out, _sf_out, lc, lg, la, lb, sc = outs
+        _sf_out, lc, lg, la, lb, sc = outs
         ver, _bi, bs, fs = mk._finalize_batch(
-            plan, wsum, s_loc, s_out, lc, la, lb, sc, n=n, P=Pn,
+            plan, wsum, sf_loc, lc, la, lb, sc, n=n, P=Pn,
             interp=interpret,
         )
         return sc, lc, lg, ver, bs, fs
@@ -263,8 +253,7 @@ def multi_start_refine_mega_sharded(
     sharded = jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(), P(), P(), P(), P("dp", None, None),
-                  P("dp", None, None), P("dp")),
+        in_specs=(P(), P(), P(), P(), P("dp", None, None), P("dp")),
         out_specs=(P(None, "dp"), P("dp", None, None),
                    P("dp", None, None), P("dp"), P("dp", None),
                    P("dp", None)),
@@ -276,8 +265,7 @@ def multi_start_refine_mega_sharded(
             mg.meta_weights,
             mg.spmv_plan,
             wsum,
-            s_dev,
-            free,
+            sf_dev,
             caps_dev,
         )
     )

@@ -191,7 +191,7 @@ def _load_plan_symbols(lib):
     lib.ekl_build_plan_v1.restype = ctypes.POINTER(_EklPlanV1)
     lib.ekl_build_plan_v1.argtypes = [ctypes.c_int64, ctypes.c_int64, I32P, I32P, F64P]
     lib.ekl_build_plan_v2.restype = ctypes.POINTER(_EklPlanV2)
-    lib.ekl_build_plan_v2.argtypes = [ctypes.c_int64, ctypes.c_int64, I32P, I32P, F64P]
+    lib.ekl_build_plan_v2.argtypes = [ctypes.c_int64, ctypes.c_int64, I32P, I32P, F64P, ctypes.c_int64]
     lib.ekl_free_plan_v1.argtypes = [ctypes.POINTER(_EklPlanV1)]
     lib.ekl_free_plan_v2.argtypes = [ctypes.POINTER(_EklPlanV2)]
     lib._plan_symbols = True
@@ -244,12 +244,15 @@ def build_plan_v1_native(n, rows, cols, weights) -> dict:
             lib.ekl_free_plan_v1(p)
 
 
-def build_plan_v2_native(n, rows, cols, weights) -> dict:
-    """Native v2 (bucket-transpose) plan arrays + overflow-tail COO."""
+def build_plan_v2_native(n, rows, cols, weights, q_min: int = 0) -> dict:
+    """Native v2 (bucket-transpose) plan arrays + overflow-tail COO.
+
+    q_min: lower bound on the bucket quantum (0 = automatic); raised by
+    the caller when the overflow tail is pathologically large."""
     lib = _load()
     _load_plan_symbols(lib)
     r, c, w, rp, cp, wp = _coo_args(n, rows, cols, weights)
-    p = lib.ekl_build_plan_v2(n, len(r), rp, cp, wp)
+    p = lib.ekl_build_plan_v2(n, len(r), rp, cp, wp, q_min)
     try:
         s = p.contents
         S1, C2p = int(s.s1), int(s.c2p)

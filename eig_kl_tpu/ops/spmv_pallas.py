@@ -529,11 +529,29 @@ def build_plan_v2(
             from eig_kl_tpu.io import native_io
 
             rows, cols, weights = _ensure_row_sorted(rows, cols, weights)
-            d = native_io.build_plan_v2_native(n, rows, cols, weights)
-            tail = None
-            if d["tail"] is not None:
-                tr, tc, tw = d["tail"]
-                tail = build_plan(n, tr, tc, tw, use_native=use_native)
+            # Retry with a larger bucket quantum when the overflow tail
+            # is pathological: at multi-million-node scale the
+            # lam-derived Q leaves a few-percent Poisson tail whose
+            # entries are scattered ~1 per (stripe x window) tile, so
+            # its v1 plan needs ~1 chunk per ENTRY -- the v1 kernel's
+            # scalar-prefetch arrays then overflow the 1 MB SMEM
+            # (observed at 1.8M nodes: 140K tail chunks = 1.08 MB).
+            q_min = 0
+            for _ in range(5):
+                d = native_io.build_plan_v2_native(
+                    n, rows, cols, weights, q_min=q_min
+                )
+                tail = None
+                if d["tail"] is not None:
+                    tr, tc, tw = d["tail"]
+                    tail = build_plan(n, tr, tc, tw, use_native=use_native)
+                if (
+                    tail is None
+                    or tail.num_chunks <= 48_000
+                    or d["quantum"] >= 512
+                ):
+                    break
+                q_min = d["quantum"] * 2
             return SpmvPlanV2(
                 col_local=jnp.asarray(d["col_local"]),
                 weights=jnp.asarray(d["weights"]),

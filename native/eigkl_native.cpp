@@ -406,7 +406,12 @@ EklPlanV1* ekl_build_plan_v1(int64_t n, int64_t nnz, const int32_t* rows,
 }
 
 EklPlanV2* ekl_build_plan_v2(int64_t n, int64_t nnz, const int32_t* rows,
-                             const int32_t* cols, const double* w) {
+                             const int32_t* cols, const double* w,
+                             int64_t q_min) {
+  // q_min: lower bound on the bucket quantum (0 = automatic).  Callers
+  // raise it when the overflow tail comes back pathologically large
+  // (clique-structured rows at multi-million-node scale overflow the
+  // lam-derived Q, and a huge tail blows the v1 plan's SMEM arrays).
   EklPlanV2* out = new EklPlanV2();
   std::memset(out, 0, sizeof(EklPlanV2));
   int64_t P = round_up_i64(n > 0 ? n : 1, KW);
@@ -417,6 +422,7 @@ EklPlanV2* ekl_build_plan_v2(int64_t n, int64_t nnz, const int32_t* rows,
   if (lam < 1.0) lam = 1.0;
   int64_t Q = 4;
   while (Q < 512 && (double)Q < lam * 1.5) Q *= 2;
+  while (Q < q_min && Q < 512) Q *= 2;
   int64_t per = KCH / Q > 0 ? KCH / Q : 1;
   // g1/128 must be a whole number of 16-row tiles so the gather pass
   // can emit (16,128)-tiled bf16 blocks (also satisfies the 8-row f32

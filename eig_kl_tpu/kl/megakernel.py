@@ -51,8 +51,12 @@ from eig_kl_tpu.utils.config import KLConfig
 _NEG = -3.0e38  # "minus infinity" mask for max-reductions (plain float)
 
 # Above this padded-node count, per-swap selection switches from a full
-# masked scan to the hierarchical per-row max cache.
-HIER_THRESHOLD = 1 << 19
+# masked scan to the hierarchical per-row max cache.  Measured crossover
+# (bench_selection.py, fused cache maintenance): flat wins at <=100K
+# nodes (5.8 vs 6.0 us/swap), hier wins at 200K (5.2 vs 6.6) and is
+# mandatory above ~512K, where the flat scan's loop-body temporaries no
+# longer fit VMEM.
+HIER_THRESHOLD = 1 << 17
 
 
 def _round_up(x: int, m: int) -> int:

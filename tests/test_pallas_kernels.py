@@ -250,6 +250,60 @@ def test_mega_hierarchical_selection_parity(fract, monkeypatch):
     )
 
 
+class TestQuantumFloor:
+    def test_native_q_min_raises_quantum_and_stays_correct(self, rng):
+        """The q_min floor (used by build_plan_v2's pathological-tail
+        retry) must raise the bucket quantum and keep the matvec
+        exact (entries displaced from the tail into main slots)."""
+        from eig_kl_tpu.io import native_io
+        from eig_kl_tpu.ops.spmv_pallas import SpmvPlanV2, build_plan, spmv_pallas
+
+        try:
+            native_io._load()
+        except (ImportError, OSError):
+            pytest.skip("native library unavailable")
+        from tests.conftest import random_hypergraph
+        from eig_kl_tpu.graph.expand import clique_expand
+
+        # Large and sparse so the lam-derived quantum is small (tiny
+        # graphs have so few buckets that auto-Q saturates at 512 and
+        # the floor has nothing to raise).
+        hg = random_hypergraph(rng, num_nodes=60_000, num_nets=40_000, max_net=3)
+        g = clique_expand(hg, "kl")
+        n = g.num_nodes
+        rows = np.repeat(np.arange(n, dtype=np.int64), g.degrees)
+        cols = g.indices.astype(np.int64)
+        w = g.data.astype(np.float32)
+        d0 = native_io.build_plan_v2_native(n, rows, cols, w)
+        assert d0["quantum"] < 512, "graph too small for this test"
+        d1 = native_io.build_plan_v2_native(n, rows, cols, w, q_min=4 * d0["quantum"])
+        assert d1["quantum"] >= 4 * d0["quantum"]
+
+        def to_plan(d):
+            tail = None
+            if d["tail"] is not None:
+                tr, tc, tw = d["tail"]
+                tail = build_plan(n, tr, tc, tw)
+            return SpmvPlanV2(
+                col_local=jnp.asarray(d["col_local"]),
+                weights=jnp.asarray(d["weights"]),
+                rl_t=jnp.asarray(d["rl_t"]),
+                rb_of=jnp.asarray(d["rb_of"]),
+                tail=tail,
+                padded_nodes=d["padded_nodes"],
+                n_cb=d["n_cb"],
+                n_rbp=d["n_rbp"],
+                quantum=d["quantum"],
+                g1=d["g1"],
+                g2=d["g2"],
+            )
+
+        x = rng.standard_normal(n).astype(np.float32)
+        y0 = np.asarray(spmv_pallas(to_plan(d0), jnp.asarray(x)))
+        y1 = np.asarray(spmv_pallas(to_plan(d1), jnp.asarray(x)))
+        np.testing.assert_allclose(y0, y1, rtol=1e-5, atol=1e-5)
+
+
 class TestBf16Intermediates:
     def test_v2_bf16_matches_f32(self, rng):
         """bf16 streamed intermediates through the v2 plan stay within

@@ -44,6 +44,10 @@ def main() -> int:
     ap.add_argument("--starts", type=int, default=1, help="multi-start batch size")
     args = ap.parse_args()
 
+    from eig_kl_tpu.utils.jaxcache import enable_persistent_cache
+
+    cache_dir = enable_persistent_cache()
+
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -57,7 +61,7 @@ def main() -> int:
     from eig_kl_tpu.utils.config import KLConfig, SpectralConfig
 
     dev = jax.devices()[0]
-    log(f"device: {dev.device_kind} ({dev.platform})")
+    log(f"device: {dev.device_kind} ({dev.platform})  compile_cache={cache_dir}")
 
     # --- input circuit -------------------------------------------------
     t0 = time.perf_counter()
@@ -149,6 +153,10 @@ def main() -> int:
                 "value": round(t_exec, 4),
                 "unit": "s",
                 "vs_baseline": round(args.baseline / t_exec, 2),
+                "build_seconds": round(t_build, 2),
+                "warmup_seconds": round(t_warm, 2),
+                "spectral_seconds": round(t_spec, 4),
+                "kl_seconds": round(t_kl, 4),
             }
         )
     )

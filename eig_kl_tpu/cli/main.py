@@ -291,6 +291,9 @@ def cmd_info() -> int:
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
+    from eig_kl_tpu.utils.jaxcache import enable_persistent_cache
+
+    enable_persistent_cache()
     try:
         if args.command == "eig":
             return cmd_eig(args)

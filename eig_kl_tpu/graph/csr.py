@@ -33,6 +33,28 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _ell_scatter(n, dmax, dtype_name, flat, idx, w):
+    """One jitted scatter: (flat positions, indices, weights) -> padded
+    ELL pair.  Jitted per (n, dmax, dtype) so a cold process pays one
+    compile (persisted by the compilation cache) instead of ~10 eager
+    dispatch compiles."""
+    import jax
+
+    @jax.jit
+    def build(flat, idx, w):
+        base = jax.lax.broadcasted_iota(jnp.int32, (n, dmax), 0).reshape(-1)
+        ell_idx = base.at[flat].set(idx).reshape(n, dmax)
+        ell_w = (
+            jnp.zeros((n * dmax,), jnp.dtype(dtype_name))
+            .at[flat]
+            .set(w)
+            .reshape(n, dmax)
+        )
+        return ell_idx, ell_w
+
+    return build(flat, idx, w)
+
+
 @dataclasses.dataclass(frozen=True)
 class Graph:
     """Symmetric weighted graph in CSR form (host / NumPy).
@@ -157,14 +179,14 @@ class Graph:
     def ell_on_device(self, pad_multiple: int = 8, dtype=jnp.float32):
         """Build the padded ELL *on device* from CSR-sized uploads.
 
-        Host->device transfers are the bottleneck for skewed graphs (the
-        padded ELL for ibm10's max-degree-574 rows is 320 MB; the CSR
-        arrays are 17 MB), so ship (indices, weights, flat scatter
-        positions) and scatter into the (n, dmax) pad layout on device.
-        Produces bit-identical arrays to :meth:`to_ell`.
+        For degree-skewed graphs the padded ELL is much larger than the
+        CSR it encodes (ibm10's max-degree-574 rows pad to 320 MB vs
+        17 MB of CSR), so ship (indices, weights, flat scatter
+        positions) and scatter into the (n, dmax) pad layout on device
+        via one jitted scatter (a single cacheable compile -- the
+        round-2 eager version cost ~54 s of one-time compiles at 200K
+        nodes).  Produces bit-identical arrays to :meth:`to_ell`.
         """
-        import jax
-
         n = self.num_nodes
         deg = self.degrees
         dmax = max(_round_up(self.max_degree, pad_multiple), pad_multiple)
@@ -172,15 +194,14 @@ class Graph:
         row = np.repeat(np.arange(n, dtype=np.int64), deg)
         flat = row * dmax + pos
         idx_dtype = np.int32 if n * dmax < 2**31 else np.int64
-        dev_flat = jnp.asarray(flat.astype(idx_dtype))
-        dev_idx = jnp.asarray(self.indices)
-        dev_w = jnp.asarray(self.data.astype(jnp.dtype(dtype)))
-        base = jax.lax.broadcasted_iota(jnp.int32, (n, dmax), 0).reshape(-1)
-        ell_idx = base.at[dev_flat].set(dev_idx).reshape(n, dmax)
-        ell_w = (
-            jnp.zeros((n * dmax,), dtype).at[dev_flat].set(dev_w).reshape(n, dmax)
+        return _ell_scatter(
+            n,
+            dmax,
+            jnp.dtype(dtype).name,
+            jnp.asarray(flat.astype(idx_dtype)),
+            jnp.asarray(self.indices),
+            jnp.asarray(self.data.astype(jnp.dtype(dtype))),
         )
-        return ell_idx, ell_w
 
     def to_device(
         self, pad_multiple: int = 8, dtype=jnp.float32, with_plan: bool = False
@@ -189,11 +210,18 @@ class Graph:
         chunk-planned Pallas SpMV routing (used automatically by
         :func:`eig_kl_tpu.ops.partition.spmv` for f32 matvecs on TPU,
         where XLA's scalar-loop gather is ~1000x off HBM speed)."""
-        import jax
+        import os
 
-        if jax.default_backend() == "tpu" and self.nnz > 0:
-            # Transfer-bound path: the tunnel moves ~13 MB/s, so build
-            # the padded ELL on device from nnz-sized uploads.
+        n = self.num_nodes
+        dmax = max(_round_up(self.max_degree, pad_multiple), pad_multiple)
+        ell_bytes = n * dmax * (4 + jnp.dtype(dtype).itemsize)
+        # Host-build + upload is compile-free and costs ~3.9 s at 200K
+        # nodes (77 MB over the tunnel); the on-device scatter build
+        # only wins when the padded ELL is transfer-bound.
+        threshold = int(
+            os.environ.get("EIG_KL_TPU_ELL_DEVICE_BYTES", str(192 << 20))
+        )
+        if self.nnz > 0 and ell_bytes > threshold:
             ell_idx, ell_w = self.ell_on_device(pad_multiple, dtype)
         else:
             h_idx, h_w = self.to_ell(pad_multiple)

@@ -51,6 +51,24 @@ def _build_library() -> None:
     )
 
 
+# Must match ekl_abi_version() in native/eigkl_native.cpp.  A stale
+# .so with a different exported ABI (e.g. pre-q_min ekl_build_plan_v2)
+# would silently misinterpret arguments; on mismatch we rebuild once
+# and refuse (falling back to the Python implementations) if the
+# rebuilt library still disagrees.
+_ABI_VERSION = 3
+
+
+def _abi_of(lib) -> int:
+    try:
+        fn = lib.ekl_abi_version
+    except AttributeError:
+        return 0  # pre-versioning library
+    fn.restype = ctypes.c_int64
+    fn.argtypes = []
+    return int(fn())
+
+
 def _load():
     global _lib
     if _lib is not None:
@@ -61,6 +79,24 @@ def _load():
         except (subprocess.SubprocessError, OSError) as e:
             raise ImportError(f"cannot build native library: {e}") from e
     lib = ctypes.CDLL(_LIB_PATH)
+    if _abi_of(lib) != _ABI_VERSION:
+        # Stale build: rebuild in place and reload.  ctypes caches
+        # dlopen handles per path, so a same-path reload can return the
+        # old image; verify and refuse on any remaining mismatch.
+        try:
+            _build_library()
+        except (subprocess.SubprocessError, OSError) as e:
+            raise ImportError(
+                f"native library ABI {_abi_of(lib)} != {_ABI_VERSION} "
+                f"and rebuild failed: {e}"
+            ) from e
+        lib = ctypes.CDLL(_LIB_PATH)
+        if _abi_of(lib) != _ABI_VERSION:
+            raise ImportError(
+                f"native library ABI {_abi_of(lib)} != {_ABI_VERSION} "
+                "after rebuild (stale dlopen handle?); using Python "
+                "fallbacks"
+            )
     lib.ekl_read_hgr.restype = ctypes.POINTER(_EklHgr)
     lib.ekl_read_hgr.argtypes = [ctypes.c_char_p]
     lib.ekl_free_hgr.argtypes = [ctypes.POINTER(_EklHgr)]

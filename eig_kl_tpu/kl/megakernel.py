@@ -143,13 +143,14 @@ def _kernel(
     fp_ref,
     ip_ref,
     # outputs
-    sf_ref,
+    sfout_ref,
     log_cut_ref,
     log_gain_ref,
     log_a_ref,
     log_b_ref,
     out_ref,
     # scratch
+    sf_ref,
     as_ref,
     ia_ref,
     ib_ref,
@@ -183,20 +184,28 @@ def _kernel(
     # There is NO separate signs array: final and best partitions are
     # both replayed from the swap log on device (_finalize_batch), so
     # the kernel's VMEM budget is 8 bytes/node -- ~2M nodes/chip.
-    # In batched (multi-start) mode the grid iterates over starts and
-    # each step's state slice arrives as a pipelined VMEM input block;
-    # single-start DMAs the HBM inputs once.
+    # Both state arrays are VMEM scratch filled by explicit DMA from
+    # HBM (and sf written back out the same way); in batched
+    # (multi-start) mode each grid step DMAs its own (R, 128) stripe.
+    # Round-2 instead pipelined per-start state as VMEM input blocks
+    # PLUS output blocks, which doubled the footprint and capped the
+    # batched path at 1M padded nodes -- manual DMA keeps the budget
+    # identical to single-start (~1.9M nodes/chip) for any S.
     if batched:
         i = pl.program_id(0)
-        sf_ref[:] = sf0_ref[:]
-        as_ref[:] = as0_ref[:]
+        cp_f = pltpu.make_async_copy(
+            sf0_ref.at[pl.ds(i * R, R), :], sf_ref, sems.at[0]
+        )
+        cp_a = pltpu.make_async_copy(
+            as0_ref.at[pl.ds(i * R, R), :], as_ref, sems.at[1]
+        )
     else:
         cp_f = pltpu.make_async_copy(sf0_ref, sf_ref, sems.at[0])
         cp_a = pltpu.make_async_copy(as0_ref, as_ref, sems.at[1])
-        cp_f.start()
-        cp_a.start()
-        cp_f.wait()
-        cp_a.wait()
+    cp_f.start()
+    cp_a.start()
+    cp_f.wait()
+    cp_a.wait()
     # The trajectory logs live in HBM (they are write-only and can be
     # half the VMEM budget at 1M nodes); each swap writes into small
     # (8, 128) VMEM staging buffers that are DMA'd out as a block every
@@ -458,6 +467,16 @@ def _kernel(
     # ended exactly on a block boundary this rewrites identical data.
     flush_logs(it // 1024)
 
+    # Write the final sf state back to its HBM stripe.
+    if batched:
+        cp_out = pltpu.make_async_copy(
+            sf_ref, sfout_ref.at[pl.ds(i * R, R), :], sems.at[0]
+        )
+    else:
+        cp_out = pltpu.make_async_copy(sf_ref, sfout_ref, sems.at[0])
+    cp_out.start()
+    cp_out.wait()
+
     col = i if batched else 0
     out_ref[0, col] = cut
     out_ref[1, col] = best_cut
@@ -529,7 +548,10 @@ def _run(
             pl.BlockSpec((1, 2), memory_space=pltpu.SMEM),  # [cap, term0]
         ],
         out_specs=(
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            # Final sf pinned to HBM and written by one DMA at the end;
+            # a VMEM output would be a third (R, 128) resident array
+            # and cut the per-chip node ceiling by a third.
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
             # Trajectory logs pinned to HBM (ANY would let Mosaic put
             # them back in VMEM), written through (8, 128) VMEM staging
             # blocks (see _kernel.flush_logs): at 1M nodes VMEM-resident
@@ -543,6 +565,7 @@ def _run(
         # sf0/as0 live in HBM and are DMA'd into the state once (VMEM
         # inputs would double-count against the 16 MB budget).
         scratch_shapes=[
+            pltpu.VMEM((R, 128), jnp.float32),  # sf state (scratch)
             pltpu.VMEM((R, 128), jnp.float32),  # a_s state (scratch)
             pltpu.SMEM((8, W), jnp.int32),
             pltpu.SMEM((8, W), jnp.int32),
@@ -584,12 +607,12 @@ def _run_batched(
     gain_eps: float,
     interpret: bool = False,
 ):
-    """Multi-start form: grid over the start axis; each grid step runs
-    one full refinement with per-start (R, 128) VMEM state (the VMEM
-    budget is one start regardless of S).  The stacked state/log arrays
-    travel flattened to (S*R, 128) / (S*MLR, 128) so every block is a
-    plain 2D (rows, 128) tile -- squeezed 3D blocks lower to rank-3
-    memrefs whose per-row VMEM ops are measurably slower in Mosaic."""
+    """Multi-start form: grid over the start axis; each grid step DMAs
+    its own (R, 128) state stripe from HBM into the shared VMEM scratch
+    (the VMEM budget is one start regardless of S, identical to the
+    single-start path -- ~1.9M nodes/chip).  The stacked state/log
+    arrays travel flattened to (S*R, 128) / (S*MLR, 128) so every DMA
+    slice is a plain 2D (rows, 128) region."""
     S, R = sf0.shape[0], sf0.shape[1]
     P = R * 128
     # Grid-blocked (rows, 128) tiles need rows % 8 == 0 (Mosaic block
@@ -606,7 +629,6 @@ def _run_batched(
         hierarchical=P > HIER_THRESHOLD,
         batched=True,
     )
-    blk = lambda rows: pl.BlockSpec((rows, 128), lambda i: (i, 0))
     sf_out, lc, lg, la, lb, sc = pl.pallas_call(
         kernel,
         grid=(S,),
@@ -621,8 +643,11 @@ def _run_batched(
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # idx rows stay in HBM
             pl.BlockSpec(memory_space=pl.ANY),  # weight rows stay in HBM
-            blk(R),  # sf0: per-start pipelined VMEM block
-            blk(R),  # a_s0
+            # Per-start state stays in HBM; each grid step DMAs its own
+            # (R, 128) stripe (pipelined VMEM blocks would double the
+            # footprint and cap the batch path at ~1M padded nodes).
+            pl.BlockSpec(memory_space=pl.ANY),  # sf0
+            pl.BlockSpec(memory_space=pl.ANY),  # a_s0
             # Scalar params travel as whole (2, S) SMEM arrays; Mosaic
             # rejects SMEM blocks smaller than the array unless the
             # trailing dims are (8, 128)-aligned, so each grid step
@@ -631,7 +656,8 @@ def _run_batched(
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=(
-            blk(R),
+            # Final sf stripes in HBM, written by one DMA per grid step.
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
             # Logs pinned to HBM, staged through (8, 128) VMEM blocks;
             # each grid step writes its own MLR-row stripe via program_id.
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
@@ -641,6 +667,7 @@ def _run_batched(
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
         scratch_shapes=[
+            pltpu.VMEM((R, 128), jnp.float32),  # sf state (scratch)
             pltpu.VMEM((R, 128), jnp.float32),  # a_s state (scratch)
             pltpu.SMEM((8, meta_idx.shape[1]), jnp.int32),
             pltpu.SMEM((8, meta_idx.shape[1]), jnp.int32),
@@ -758,33 +785,30 @@ def refine_mega_batch(
     Args:
       mg: prepared :class:`MegaGraph` (shared across starts).
       sides_batch: int8[S, n] initial side labels per start.
-      config: reference-parity options; ``refresh_interval`` is not
-        supported here (per-start chunk re-entry diverges -- use
-        :func:`refine_mega` per start for that).
+      config: reference-parity options; ``refresh_interval > 0`` runs
+        the same chunked kernel re-entry as :func:`refine_mega`, but
+        batched -- every start's from-scratch ``A @ s`` / cut is
+        recomputed together between chunks.
 
     Returns:
       One :class:`KLResult` per start (same semantics as refine_mega).
     """
-    if config.refresh_interval > 0:
-        raise ValueError(
-            "refresh_interval is not supported by the batched multi-start "
-            "kernel; run refine_mega per start instead"
-        )
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     sides_batch = np.asarray(sides_batch, dtype=np.int8)
     S, n = sides_batch.shape
     assert n == mg.num_nodes
-    if mg.padded_nodes > 1 << 20:
-        # The batched kernel holds one start's state as VMEM output
-        # blocks PLUS pipelined input blocks; above ~1M padded nodes
-        # that doubled footprint no longer fits, so fall back to the
-        # sequential per-start path (still one compile).
-        return [refine_mega(mg, sides_batch[k], config, interpret=interpret) for k in range(S)]
-    # Batched grid blocks are (R, 128) tiles of an (S*R, 128) array;
-    # Mosaic requires R % 8 == 0, so pad the node axis up to 1024
-    # lanes (the extra rows arrive permanently locked via the free
-    # mask and never affect selection).
+    if config.refresh_interval > 0:
+        return _refine_mega_batch_refresh(
+            mg, sides_batch, config, interpret=interpret
+        )
+    # Per-start state is DMA'd stripe-by-stripe from HBM (no pipelined
+    # VMEM input blocks), so the batched kernel's VMEM budget equals
+    # the single-start path's at any S and node counts up to the
+    # single-start ceiling (~1.9M padded) work batched.  The node axis
+    # pads to 1024 lanes so each (R, 128) stripe is 8-row aligned (the
+    # extra rows arrive permanently locked via the free mask and never
+    # affect selection).
     P = _round_up(mg.padded_nodes, 1024)
     R = P // 128
     caps, naturals = [], []
@@ -875,6 +899,165 @@ def refine_mega_batch(
     return results
 
 
+def _refine_mega_batch_refresh(
+    mg: MegaGraph,
+    sides_batch: np.ndarray,
+    config: KLConfig,
+    *,
+    interpret: bool,
+) -> list[KLResult]:
+    """Chunked multi-start refinement: every ``refresh_interval`` swaps
+    the kernel exits, the host replays each start's chunk log into its
+    partition/lock state, and the next chunk re-enters with a
+    from-scratch ``A @ s`` and cut for ALL starts at once (batched
+    :func:`_batch_init`) -- the batched form of :func:`refine_mega`'s
+    refresh path (the stronger version of the reference's disabled
+    verifyAndCorrectCutSize, gKL.cu:368-382).  Starts that have already
+    terminated ride along with a zero cap (their grid step runs no
+    swaps)."""
+    S, n = sides_batch.shape
+    P = _round_up(mg.padded_nodes, 1024)
+    R = P // 128
+    naturals = np.empty(S, np.int64)
+    for k in range(S):
+        n1 = int(sides_batch[k].astype(np.int64).sum())
+        naturals[k] = min(n - n1, n1)
+    true_caps = (
+        naturals
+        if config.max_iterations is None
+        else np.minimum(config.max_iterations, naturals)
+    )
+    chunk = min(config.refresh_interval, int(max(true_caps.max(), 1)))
+    max_iters = min(
+        _round_up(max(chunk, 1), 4096), int(max(naturals.max(), 1))
+    )
+    terminate_limit = config.terminate_limit(n)
+    wsum = mg.weighted_degrees.sum()
+
+    sides_cur = sides_batch.astype(np.int8).copy()
+    free_mask = np.ones((S, n), dtype=bool)
+    term = np.zeros(S, np.int64)
+    best = np.full(S, np.inf)
+    stopped = np.zeros(S, bool)
+    it_total = np.zeros(S, np.int64)
+    initial_cut = np.zeros(S)
+    final_cut = np.zeros(S)
+    cuts = [[] for _ in range(S)]
+    gains = [[] for _ in range(S)]
+    a_log = [[] for _ in range(S)]
+    b_log = [[] for _ in range(S)]
+    first = True
+    while not stopped.all():
+        cap_chunk = np.where(
+            stopped, 0, np.minimum(chunk, true_caps - it_total)
+        ).astype(np.int32)
+        s_full = np.zeros((S, P), np.float32)
+        s_full[:, :n] = 1.0 - 2.0 * sides_cur.astype(np.float32)
+        a_s, cut_dev = _batch_init(
+            mg.spmv_plan,
+            wsum,
+            jnp.asarray(s_full.reshape(S, R, 128)),
+            n=n,
+            P=P,
+            interp=interpret,
+        )
+        sf_host = np.zeros((S, P), np.float32)
+        sf_host[:, :n] = (
+            1.0 - 2.0 * sides_cur.astype(np.float32)
+        ) * free_mask
+        best_arr = (
+            cut_dev if first else jnp.asarray(best, jnp.float32)
+        )
+        outs = _run_batched(
+            mg.meta_indices,
+            mg.meta_weights,
+            jnp.asarray(sf_host.reshape(S, R, 128)),
+            a_s,
+            jnp.stack([cut_dev, best_arr], axis=0),
+            jnp.asarray(np.stack([cap_chunk, term]), jnp.int32),
+            num_nodes=n,
+            max_iters=max_iters,
+            terminate_limit=terminate_limit,
+            gain_eps=config.gain_eps,
+            interpret=interpret,
+        )
+        _sf, lc, lg, la, lb, sc = jax.device_get(outs)
+        for k in range(S):
+            if stopped[k]:
+                continue
+            it_chunk = int(sc[2, k])
+            if first:
+                initial_cut[k] = float(sc[6, k])
+            best[k] = float(sc[1, k])
+            term[k] = int(sc[3, k])
+            lo = 0 if it_total[k] == 0 else 1  # later chunks repeat row 0
+            cuts[k].append(lc[k].reshape(-1)[lo : it_chunk + 1])
+            gains[k].append(lg[k].reshape(-1)[lo : it_chunk + 1])
+            la_c = la[k].reshape(-1)[1 : it_chunk + 1]
+            lb_c = lb[k].reshape(-1)[1 : it_chunk + 1]
+            a_log[k].append(la_c)
+            b_log[k].append(lb_c)
+            sides_cur[k, la_c] = 1
+            sides_cur[k, lb_c] = 0
+            free_mask[k, la_c] = False
+            free_mask[k, lb_c] = False
+            it_total[k] += it_chunk
+            if (
+                bool(sc[7, k])
+                or int(sc[4, k]) == 0
+                or int(sc[5, k]) == 0
+                or it_total[k] >= true_caps[k]
+            ):
+                stopped[k] = True
+                final_cut[k] = float(sc[0, k])
+        first = False
+
+    # Batched from-scratch verification of every final partition (the
+    # gKL.cu:524-530 oracle).
+    s_fin = np.zeros((S, P), np.float32)
+    s_fin[:, :n] = 1.0 - 2.0 * sides_cur.astype(np.float32)
+    _a_v, verified = jax.device_get(
+        _batch_init(
+            mg.spmv_plan,
+            wsum,
+            jnp.asarray(s_fin.reshape(S, R, 128)),
+            n=n,
+            P=P,
+            interp=interpret,
+        )
+    )
+    results = []
+    for k in range(S):
+        iterations = int(it_total[k])
+        log_cut = (
+            np.concatenate(cuts[k]) if cuts[k] else np.zeros(1, np.float32)
+        )
+        log_gain = (
+            np.concatenate(gains[k]) if gains[k] else np.zeros(1, np.float32)
+        )
+        log_a = np.concatenate([np.zeros(1, np.int32)] + a_log[k])
+        log_b = np.concatenate([np.zeros(1, np.int32)] + b_log[k])
+        results.append(
+            KLResult(
+                sides=sides_cur[k].copy(),
+                best_sides=replay_swaps(
+                    sides_batch[k],
+                    log_a,
+                    log_b,
+                    best_iteration(log_cut, iterations),
+                ),
+                initial_cut=float(initial_cut[k]),
+                final_cut=float(final_cut[k]),
+                best_cut=float(best[k]),
+                verified_cut=float(verified[k]),
+                iterations=iterations,
+                cut_trajectory=log_cut[: iterations + 1],
+                gain_trajectory=log_gain[: iterations + 1],
+            )
+        )
+    return results
+
+
 def refine_mega(
     mg: MegaGraph,
     sides: np.ndarray,
@@ -893,6 +1076,15 @@ def refine_mega(
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if config.refresh_interval > 0:
+        # Chunked kernel re-entry is implemented once, batched; S=1 is
+        # that same path (bit-identical to the multi-start form).
+        return _refine_mega_batch_refresh(
+            mg,
+            np.asarray(sides, dtype=np.int8)[None],
+            config,
+            interpret=interpret,
+        )[0]
     n = mg.num_nodes
     P = mg.padded_nodes
     R = P // 128
@@ -904,16 +1096,10 @@ def refine_mega(
         if config.max_iterations is None
         else min(config.max_iterations, natural_cap)
     )
-    # Chunk size: the full cap when refresh is off, else the refresh
-    # interval -- the kernel re-enters after each chunk with a fresh
-    # from-scratch A @ s and cut (the stronger form of the reference's
-    # disabled verifyAndCorrectCutSize, gKL.cu:368-382).
-    refresh = config.refresh_interval
-    chunk = true_cap if refresh <= 0 else min(refresh, true_cap)
     # The static value only sizes the log buffers / compile bucket (4k
     # granularity); the loop itself stops at the runtime cap, so a
     # user-set max_iterations is honored exactly (matching refine()).
-    max_iters = min(_round_up(max(chunk, 1), 4096), max(natural_cap, 1))
+    max_iters = min(_round_up(max(true_cap, 1), 4096), max(natural_cap, 1))
     terminate_limit = config.terminate_limit(n)
 
     wsum = mg.weighted_degrees.sum()
@@ -926,148 +1112,54 @@ def refine_mega(
         cut = 0.25 * (wsum - jnp.vdot(s_flat, a_s_n)).astype(jnp.float32)
         return a_s2d, cut
 
-    if refresh <= 0:
-        # Fast path: one kernel launch, device-side finalization, ONE
-        # device_get for the whole result (see _finalize_batch).  With
-        # every real node initially free, sf0 == the sign vector, so it
-        # also seeds the initial A @ s / cut.
-        sf_host = np.zeros(P, dtype=np.float32)
-        sf_host[:n] = 1.0 - 2.0 * sides.astype(np.float32)
-        sf_dev = jnp.asarray(sf_host.reshape(R, 128))
-        a_s, cut0_dev = fresh_as_cut(sf_dev)
-        _sf_out, log_cut, log_gain, log_a, log_b, scalars = _run(
-            mg.meta_indices,
-            mg.meta_weights,
-            sf_dev,
-            a_s,
-            jnp.stack([cut0_dev, cut0_dev]).reshape(1, 2),
-            jnp.asarray([[true_cap, 0]], jnp.int32),
-            num_nodes=n,
-            max_iters=max_iters,
-            terminate_limit=terminate_limit,
-            gain_eps=config.gain_eps,
-            interpret=interpret,
-        )
-        ver_d, _bi_d, best_sides_d, fin_sides_d = _finalize_batch(
-            mg.spmv_plan,
-            wsum,
-            sf_dev[None],
-            log_cut[None],
-            log_a[None],
-            log_b[None],
-            scalars,
-            n=n,
-            P=P,
-            interp=interpret,
-        )
-        sc, lc, lg, verified, best_sides, fin_sides = jax.device_get(
-            (scalars, log_cut, log_gain, ver_d, best_sides_d, fin_sides_d)
-        )
-        sc = sc[:, 0]
-        iterations = int(sc[2])
-        lc = lc.reshape(-1)
-        lg = lg.reshape(-1)
-        return KLResult(
-            sides=fin_sides[0],
-            best_sides=best_sides[0],
-            initial_cut=float(sc[6]),
-            final_cut=float(sc[0]),
-            best_cut=float(sc[1]),
-            verified_cut=float(verified[0]),
-            iterations=iterations,
-            cut_trajectory=lc[: iterations + 1],
-            gain_trajectory=lg[: iterations + 1],
-        )
-
-    # Refresh path: re-enter the kernel every `refresh` swaps with a
-    # from-scratch A @ s and cut (the stronger form of the reference's
-    # disabled verifyAndCorrectCutSize, gKL.cu:368-382).  The host keeps
-    # the authoritative partition/lock state by replaying each chunk's
-    # swap log; sf0 for the next chunk is rebuilt from it.
-    sides_cur = sides.copy()
-    free_mask = np.ones(n, dtype=bool)
-    best = None
-    term = 0
-    it_total = 0
-    initial_cut = None
-    cuts, gains, a_log, b_log = [], [], [], []
-    while True:
-        this_cap = min(chunk, true_cap - it_total)
-        s_full = np.zeros(P, np.float32)
-        s_full[:n] = 1.0 - 2.0 * sides_cur.astype(np.float32)
-        a_s, cut_dev = fresh_as_cut(jnp.asarray(s_full.reshape(R, 128)))
-        sf_host = np.zeros(P, np.float32)
-        sf_host[:n] = (1.0 - 2.0 * sides_cur.astype(np.float32)) * free_mask
-        sf_dev = jnp.asarray(sf_host.reshape(R, 128))
-        best_arr = (
-            cut_dev if best is None else jnp.asarray(best, jnp.float32)
-        )
-        _sf_out, log_cut, log_gain, log_a, log_b, scalars = _run(
-            mg.meta_indices,
-            mg.meta_weights,
-            sf_dev,
-            a_s,
-            jnp.stack([cut_dev, best_arr]).reshape(1, 2),
-            jnp.asarray([[this_cap, term]], jnp.int32),
-            num_nodes=n,
-            max_iters=max_iters,
-            terminate_limit=terminate_limit,
-            gain_eps=config.gain_eps,
-            interpret=interpret,
-        )
-        sc, lc, lg, la, lb = jax.device_get(
-            (scalars, log_cut, log_gain, log_a, log_b)
-        )
-        sc = sc[:, 0]
-        it_chunk = int(sc[2])
-        if initial_cut is None:
-            initial_cut = float(sc[6])
-        best = (
-            float(sc[1]) if best is None else min(float(sc[1]), float(best))
-        )
-        term = int(sc[3])
-        stopped = bool(sc[7]) or int(sc[4]) == 0 or int(sc[5]) == 0
-        lo = 0 if it_total == 0 else 1  # later chunks repeat the entry row
-        cuts.append(lc.reshape(-1)[lo : it_chunk + 1])
-        gains.append(lg.reshape(-1)[lo : it_chunk + 1])
-        la_chunk = la.reshape(-1)[1 : it_chunk + 1]
-        lb_chunk = lb.reshape(-1)[1 : it_chunk + 1]
-        a_log.append(la_chunk)
-        b_log.append(lb_chunk)
-        # Replay this chunk into the host partition/lock state.
-        sides_cur[la_chunk] = 1
-        sides_cur[lb_chunk] = 0
-        free_mask[la_chunk] = False
-        free_mask[lb_chunk] = False
-        it_total += it_chunk
-        if stopped or it_total >= true_cap:
-            final_cut = float(sc[0])
-            break
-    iterations = it_total
-
-    # From-scratch verification of the incrementally-tracked cut -- the
-    # gKL.cu:524-530 oracle -- on the replayed final partition.
-    s_fin = jnp.asarray(1.0 - 2.0 * sides_cur.astype(np.float32))
-    a_s_v = spmv_pallas(mg.spmv_plan, s_fin, interpret=interpret)
-    verified = float(
-        jax.device_get(0.25 * (wsum - jnp.vdot(s_fin, a_s_v)))
+    # One kernel launch, device-side finalization, ONE device_get for
+    # the whole result (see _finalize_batch).  With every real node
+    # initially free, sf0 == the sign vector, so it also seeds the
+    # initial A @ s / cut.
+    sf_host = np.zeros(P, dtype=np.float32)
+    sf_host[:n] = 1.0 - 2.0 * sides.astype(np.float32)
+    sf_dev = jnp.asarray(sf_host.reshape(R, 128))
+    a_s, cut0_dev = fresh_as_cut(sf_dev)
+    _sf_out, log_cut, log_gain, log_a, log_b, scalars = _run(
+        mg.meta_indices,
+        mg.meta_weights,
+        sf_dev,
+        a_s,
+        jnp.stack([cut0_dev, cut0_dev]).reshape(1, 2),
+        jnp.asarray([[true_cap, 0]], jnp.int32),
+        num_nodes=n,
+        max_iters=max_iters,
+        terminate_limit=terminate_limit,
+        gain_eps=config.gain_eps,
+        interpret=interpret,
     )
-    log_cut = np.concatenate(cuts) if cuts else np.zeros(1, np.float32)
-    log_gain = np.concatenate(gains) if gains else np.zeros(1, np.float32)
-    log_a = np.concatenate([np.zeros(1, np.int32)] + a_log)
-    log_b = np.concatenate([np.zeros(1, np.int32)] + b_log)
-    best_cut = float(best)
-
+    ver_d, _bi_d, best_sides_d, fin_sides_d = _finalize_batch(
+        mg.spmv_plan,
+        wsum,
+        sf_dev[None],
+        log_cut[None],
+        log_a[None],
+        log_b[None],
+        scalars,
+        n=n,
+        P=P,
+        interp=interpret,
+    )
+    sc, lc, lg, verified, best_sides, fin_sides = jax.device_get(
+        (scalars, log_cut, log_gain, ver_d, best_sides_d, fin_sides_d)
+    )
+    sc = sc[:, 0]
+    iterations = int(sc[2])
+    lc = lc.reshape(-1)
+    lg = lg.reshape(-1)
     return KLResult(
-        sides=sides_cur.copy(),
-        best_sides=replay_swaps(
-            sides, log_a, log_b, best_iteration(log_cut, iterations)
-        ),
-        initial_cut=initial_cut,
-        final_cut=final_cut,
-        best_cut=best_cut,
-        verified_cut=verified,
+        sides=fin_sides[0],
+        best_sides=best_sides[0],
+        initial_cut=float(sc[6]),
+        final_cut=float(sc[0]),
+        best_cut=float(sc[1]),
+        verified_cut=float(verified[0]),
         iterations=iterations,
-        cut_trajectory=log_cut[: iterations + 1],
-        gain_trajectory=log_gain[: iterations + 1],
+        cut_trajectory=lc[: iterations + 1],
+        gain_trajectory=lg[: iterations + 1],
     )

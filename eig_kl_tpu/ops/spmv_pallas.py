@@ -348,6 +348,12 @@ def spmv_pallas_2d(
             interpret=interpret,
         )
     if isinstance(plan, SpmvPlanV2):
+        # bf16 intermediates are (16, 128)-tiled; a plan whose pass-1
+        # group isn't 16-row aligned (e.g. built by a foreign planner)
+        # would fault the TPU on the gather block writes -- fall back
+        # to f32 for such plans instead.
+        if jnp.dtype(inter_dtype) == jnp.bfloat16 and plan.g1 % 2048 != 0:
+            inter_dtype = jnp.float32
         y = _spmv_v2_call(
             plan.col_local,
             plan.weights,

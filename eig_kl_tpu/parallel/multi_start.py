@@ -182,7 +182,18 @@ def multi_start_refine_mega_sharded(
             f"num_starts={num_starts} must be divisible by dp={dp}"
         )
     if config.refresh_interval > 0:
-        raise ValueError("refresh_interval unsupported in batched mode")
+        # Chunked refresh re-enters the kernel with host-side log
+        # replay between chunks, which does not compose with the
+        # shard_map launch; run the single-chip batched refresh path
+        # (refine_mega_batch handles refresh natively) instead of
+        # failing.
+        return multi_start_refine_mega(
+            graph,
+            num_starts,
+            config=config,
+            base_seed=base_seed,
+            device_graph=device_graph,
+        )
     n = graph.num_nodes
     mg = mk.MegaGraph(
         graph,

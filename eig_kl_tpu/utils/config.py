@@ -91,6 +91,12 @@ class SpectralConfig:
         matvec's HBM traffic through the v2 (bucket-transpose) plan;
         the accumulation and the iterate itself stay f32.  Only
         consulted by the power solver on the padded fast path.
+        NOTE the default is "bfloat16" (flipped in round 2): the
+        round-2+ parity samples and the on-TPU test lane
+        (tests/test_tpu_hardware.py) were all produced/validated with
+        it, and the f32 reference path remains one config flag away.
+        Plans whose pass-1 groups aren't 16-row aligned silently fall
+        back to f32 (ops/spmv_pallas.py, spmv_pallas_2d).
       host_refine: polish the device Ritz pair with a ~25-step f64
         host Lanczos (:mod:`eig_kl_tpu.spectral.refine`), reaching the
         1e-6 golden-parity bar from an f32 on-chip solve.  None = auto

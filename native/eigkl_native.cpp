@@ -30,6 +30,12 @@
 
 extern "C" {
 
+// Bumped on ANY exported-signature or layout-contract change (e.g. the
+// ekl_build_plan_v2 q_min argument, slot-grid rounding).  io/native_io.py
+// refuses a library whose version differs and rebuilds -- a stale .so
+// would otherwise silently misinterpret arguments.
+int64_t ekl_abi_version(void) { return 3; }
+
 typedef struct {
   int64_t num_nets;
   int64_t num_nodes;

@@ -380,13 +380,27 @@ class TestMegaBatch:
         rb = refine_mega_batch(mg, batch, KLConfig(max_iterations=7))
         assert all(r.iterations <= 7 for r in rb)
 
-    def test_batched_rejects_refresh(self, fract):
+    def test_batched_refresh_matches_per_start(self, fract):
+        """Batched refresh (chunked kernel re-entry for all starts at
+        once) reproduces the single-start refresh path per start."""
         from eig_kl_tpu.kl.init import random_split
-        from eig_kl_tpu.kl.megakernel import MegaGraph, refine_mega_batch
+        from eig_kl_tpu.kl.megakernel import (
+            MegaGraph,
+            refine_mega,
+            refine_mega_batch,
+        )
         from eig_kl_tpu.utils.config import KLConfig
 
         g_host = _kl_graph(fract)
         mg = MegaGraph(g_host)
         batch = np.stack([random_split(fract.num_nodes, s) for s in range(2)])
-        with pytest.raises(ValueError, match="refresh_interval"):
-            refine_mega_batch(mg, batch, KLConfig(refresh_interval=8))
+        cfg = KLConfig(refresh_interval=8)
+        rb = refine_mega_batch(mg, batch, cfg)
+        for s in range(2):
+            r1 = refine_mega(mg, batch[s], cfg)
+            assert rb[s].iterations == r1.iterations
+            assert rb[s].best_cut == pytest.approx(r1.best_cut, abs=1e-4)
+            assert rb[s].final_cut == pytest.approx(r1.final_cut, abs=1e-4)
+            np.testing.assert_array_equal(rb[s].sides, r1.sides)
+            np.testing.assert_array_equal(rb[s].best_sides, r1.best_sides)
+            assert abs(rb[s].verified_cut - rb[s].final_cut) < 1e-3

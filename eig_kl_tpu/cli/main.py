@@ -229,7 +229,8 @@ def _run_kl(args, fused: bool) -> int:
         from eig_kl_tpu.graph.expand import clique_expand
         from eig_kl_tpu.kl.init import random_split, split_from_eig
         from eig_kl_tpu.models.pipelines import PartitionRun
-        from eig_kl_tpu.parallel import make_mesh, sharded_refine
+        from eig_kl_tpu.parallel import make_mesh
+        from eig_kl_tpu.parallel.sharded_kl2 import sharded_refine_oc
 
         sides = (
             split_from_eig(eig_out_path(args.input))
@@ -237,7 +238,7 @@ def _run_kl(args, fused: bool) -> int:
             else random_split(hg.num_nodes, args.seed)
         )
         g_host = clique_expand(hg, "kl")
-        res = sharded_refine(g_host, sides, make_mesh(), dtype=dtype)
+        res = sharded_refine_oc(g_host, sides, make_mesh(), dtype=dtype)
         run = PartitionRun(
             circuit=hg.name, eig=None, kl=res, timings={}, nnz=g_host.nnz
         )

@@ -48,6 +48,37 @@ def test_sharded_matches_single_chip(problem):
     assert shd.drift < 1e-9
 
 
+def test_owner_computes_matches_single_chip(problem):
+    """The O(1)-scalar owner-computes engine must reproduce the
+    single-chip trajectory exactly (same selection tie-breaking, same
+    float ops; dyadic weights -> bit-stable arithmetic)."""
+    from eig_kl_tpu.parallel.sharded_kl2 import sharded_refine_oc
+
+    g, sides = problem
+    mesh = make_mesh(8)
+    ref = refine(g.to_device(dtype=jnp.float64), sides, KLConfig())
+    shd = sharded_refine_oc(g, sides, mesh, KLConfig(), dtype=jnp.float64)
+    assert shd.iterations == ref.iterations
+    np.testing.assert_allclose(shd.cut_trajectory, ref.cut_trajectory, rtol=1e-12)
+    np.testing.assert_allclose(shd.gain_trajectory, ref.gain_trajectory, rtol=1e-12)
+    np.testing.assert_array_equal(shd.sides, ref.sides)
+    np.testing.assert_array_equal(shd.best_sides, ref.best_sides)
+    assert shd.drift < 1e-9
+
+
+def test_owner_computes_various_shard_counts(problem):
+    from eig_kl_tpu.parallel.sharded_kl2 import sharded_refine_oc
+
+    g, sides = problem
+    ref = refine(g.to_device(dtype=jnp.float64), sides, KLConfig())
+    for nd in (2, 4):
+        mesh = make_mesh(nd)
+        shd = sharded_refine_oc(g, sides, mesh, KLConfig(), dtype=jnp.float64)
+        np.testing.assert_allclose(
+            shd.cut_trajectory, ref.cut_trajectory, rtol=1e-12
+        )
+
+
 def test_sharded_on_2d_mesh(problem):
     """Works when the mesh also has a dp axis (computation replicated
     across dp)."""

@@ -699,6 +699,66 @@ def _reduce_kernel(rb_ref, e_ref, rl_ref, y_ref, *, ry: int):
     lax.fori_loop(0, GB2, body, 0)
 
 
+def _reduce_kernel_mxu(rb_ref, e_ref, rl_ref, y_ref, *, ry: int):
+    """MXU form of the one-hot reduce: per 512-slot sub-chunk, split
+    the row-local into (128-group h, lane) once, then contract
+
+        part[h, lane] = sum_s  e_h[h, s] * onehot_lane[lane, s]
+
+    as one (H, 512) x (128, 512)^T ``dot_general`` on the MXU.  Per
+    slot this costs ~H + 128 VPU compare/select ops + 128*H MACs on
+    the MXU, vs the VPU kernel's RBLOCK compare+mul+add chain
+    (~3*RBLOCK VPU ops/slot) -- the reduce pass stops being the
+    matvec's compute bottleneck (it was ~10x the gather pass at 10M
+    nnz).  Padding slots carry rl = -1: the arithmetic shift makes
+    (rl >> 7) = -1 match no h, so their e never reaches the dot."""
+    c = pl.program_id(0)
+    H = RBLOCK // 128
+
+    @pl.when(c == 0)
+    def _():
+        y_ref[:] = jnp.zeros_like(y_ref)
+
+    h_iota = jax.lax.broadcasted_iota(jnp.int32, (H, CHUNK), 0)
+    lane_col = jax.lax.broadcasted_iota(jnp.int32, (128, CHUNK), 0)
+
+    # Precision: when e carries bf16 intermediates (the power solver's
+    # hot loop) the fast 1-pass bf16 MXU path loses nothing.  When e is
+    # f32 (the KL init / cut-verification matvecs) use HIGHEST so the
+    # oracle keeps f32 semantics -- measured: HIGHEST costs ~2x on the
+    # whole matvec (0.22 s -> 0.41 s spectral at 200K) but those paths
+    # run it twice per refinement, not twice per iteration.
+    prec = (
+        jax.lax.Precision.DEFAULT
+        if e_ref.dtype == jnp.bfloat16
+        else jax.lax.Precision.HIGHEST
+    )
+
+    def body(b, _):
+        e_blk = e_ref[pl.ds(b, 1)][0]                    # (8, 512)
+        rl_blk = rl_ref[pl.ds(b, 1)][0].astype(jnp.int32)
+        for j in range(8):
+            rl_row = rl_blk[j : j + 1, :]                # (1, 512)
+            e_row = e_blk[j : j + 1, :]
+            eh = jnp.where(
+                h_iota == (rl_row >> 7), e_row.astype(jnp.float32), 0.0
+            )                                            # (H, 512)
+            oh_t = (lane_col == (rl_row & 127)).astype(jnp.float32)
+            part = jax.lax.dot_general(
+                eh,
+                oh_t,
+                (((1,), (1,)), ((), ())),
+                precision=prec,
+                preferred_element_type=jnp.float32,
+            )                                            # (H, 128)
+            rb = rb_ref[(c * GB2 + b) * 8 + j]
+            for h in range(H):
+                y_ref[pl.ds(rb * H + h, 1), :] += part[h : h + 1, :]
+        return 0
+
+    lax.fori_loop(0, GB2, body, 0)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -709,6 +769,7 @@ def _reduce_kernel(rb_ref, e_ref, rl_ref, y_ref, *, ry: int):
         "g2",
         "interpret",
         "inter_dtype",
+        "reduce_impl",
     ),
 )
 def _spmv_v2_call(
@@ -725,6 +786,7 @@ def _spmv_v2_call(
     g2: int,
     interpret: bool = False,
     inter_dtype=jnp.float32,
+    reduce_impl: str = "mxu",
 ):
     C1 = col_local.shape[0]
     C2g = rl_t.shape[0]
@@ -764,8 +826,9 @@ def _spmv_v2_call(
         et.reshape(C2, CHUNK), ((0, C2g * 8 - C2), (0, 0))
     ).reshape(C2g, 8, CHUNK)
 
+    red = _reduce_kernel_mxu if reduce_impl == "mxu" else _reduce_kernel
     y = pl.pallas_call(
-        functools.partial(_reduce_kernel, ry=ry),
+        functools.partial(red, ry=ry),
         out_shape=jax.ShapeDtypeStruct((ry, 128), jnp.float32),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,

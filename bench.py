@@ -42,6 +42,13 @@ def main() -> int:
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--solver", choices=["power", "lanczos"], default="power")
     ap.add_argument("--starts", type=int, default=1, help="multi-start batch size")
+    ap.add_argument(
+        "--refresh",
+        type=int,
+        default=0,
+        help="KL refresh_interval (re-derive A@s from scratch every N "
+        "swaps); asserts relative drift < 1e-2 and reports the cost",
+    )
     args = ap.parse_args()
 
     from eig_kl_tpu.utils.jaxcache import enable_persistent_cache
@@ -98,7 +105,9 @@ def main() -> int:
         f"engine={'pallas' if on_tpu else 'xla'}"
     )
 
-    kl_config = KLConfig(gain_eps=1e-6)  # gKL semantics (gKL.cu:26,495)
+    kl_config = KLConfig(
+        gain_eps=1e-6, refresh_interval=args.refresh
+    )  # gKL semantics (gKL.cu:26,495)
     spec_config = SpectralConfig(solver=args.solver)
     # power reuses the KL adjacency (gKL2.cu:262-303); lanczos needs the
     # 2/k "eig" weighting (cEIG.cpp:110).
@@ -144,6 +153,16 @@ def main() -> int:
         f"cut {kl.initial_cut:.1f} -> best {kl.best_cut:.1f} "
         f"improvement {100 * kl.improvement:.1f}%"
     )
+
+    if args.refresh > 0:
+        rel_drift = kl.drift / max(abs(kl.final_cut), 1.0)
+        log(
+            f"refresh={args.refresh}: relative drift {rel_drift:.2e} "
+            f"(abs {kl.drift:.3f})"
+        )
+        assert rel_drift < 1e-2, (
+            f"refresh-on relative drift {rel_drift:.2e} exceeds 1e-2"
+        )
 
     metric = f"e2e_eigkl_{hg.num_nodes // 1000}k_seconds"
     print(

@@ -421,31 +421,24 @@ def spmv_pallas(
 
 
 def plan_for_graph(graph: Graph):
-    """Pick the plan flavor: v1 when (stripe x row-window) tiles are
-    reasonably full (small or locality-friendly graphs), v2 otherwise
-    (its dense bucket transpose does not depend on locality)."""
+    """Pick the plan flavor.  Since the MXU one-hot reduce + grid
+    blocking (round 3), v2 wins everywhere measured -- including the
+    locality-friendly case the tile-density test used to route to v1
+    (ibm10: v1 3.94 ms vs v2 0.67 ms per power step).  v1 remains the
+    format for v2's overflow tails and for tiny graphs, where its
+    always-dense chunks avoid v2's minimum slot-grid padding.
+
+    v3 (Benes permutation, build_plan_v3) is correct and available but
+    measured slower than v2 at 1M+ nnz: its 2*log2(N)-1 exchange
+    stages are VMEM-bandwidth-bound (~40 MB of moves per stage), so
+    the dense bucket transpose wins despite its slot padding."""
     n = graph.num_nodes
     rows = np.repeat(np.arange(n, dtype=np.int64), graph.degrees)
     cols = graph.indices.astype(np.int64)
     w = graph.data.astype(np.float32)
     nnz = max(rows.shape[0], 1)
-    try:
-        from eig_kl_tpu.io import native_io
-
-        v1_chunks = native_io.plan_v1_chunks_native(n, rows, cols)
-    except (ImportError, OSError):
-        P = _round_up(max(n, 1), WINDOW)
-        key = (cols // WINDOW) * (P // WINDOW + 1) + np.minimum(
-            rows // WINDOW, P // WINDOW - 1
-        )
-        _, counts = np.unique(key, return_counts=True)
-        v1_chunks = int(np.ceil(counts / CHUNK).sum())
-    if v1_chunks * CHUNK <= 1.7 * nnz:
+    if nnz <= 32_768:
         return build_plan(n, rows, cols, w)
-    # v3 (Benes permutation, build_plan_v3) is correct and available but
-    # measured slower than v2 at 1M+ nnz: its 2*log2(N)-1 exchange
-    # stages are VMEM-bandwidth-bound (~40 MB of moves per stage), so
-    # the dense bucket transpose wins despite its slot padding.
     return build_plan_v2(n, rows, cols, w)
 
 
@@ -558,11 +551,31 @@ def build_plan_v2(
                 ):
                     break
                 q_min = d["quantum"] * 2
+            # The native planner rounds the pass-2 chunk count to the
+            # historical 64-block granularity; pad to the current
+            # 8*GB2 here (-1 row-locals / rb 0 sub-chunks are inert).
+            rl_t, rb_of = d["rl_t"], d["rb_of"]
+            C2p = rl_t.shape[0] * 8
+            C2w = _round_up(C2p, 8 * GB2)
+            if C2w > C2p:
+                rl_t = np.concatenate(
+                    [
+                        rl_t,
+                        np.full(
+                            ((C2w - C2p) // 8, 8, rl_t.shape[2]),
+                            -1,
+                            rl_t.dtype,
+                        ),
+                    ]
+                )
+                rb_of = np.concatenate(
+                    [rb_of, np.zeros(C2w - C2p, rb_of.dtype)]
+                )
             return SpmvPlanV2(
                 col_local=jnp.asarray(d["col_local"]),
                 weights=jnp.asarray(d["weights"]),
-                rl_t=jnp.asarray(d["rl_t"]),
-                rb_of=jnp.asarray(d["rb_of"]),
+                rl_t=jnp.asarray(rl_t),
+                rb_of=jnp.asarray(rb_of),
                 tail=tail,
                 padded_nodes=d["padded_nodes"],
                 n_cb=d["n_cb"],
@@ -650,27 +663,40 @@ def build_plan_v2(
     )
 
 
-GB2 = 8   # pass-2 8-chunk blocks per grid step
+GB2 = 32  # pass-2 8-chunk blocks per grid step (block ~0.8 MB; raised
+          # from 8 to amortize the ~2 us grid-step overhead, which
+          # dominated mid-size matvecs)
 
 
-def _gather_kernel(x_ref, cl_ref, w_ref, e_ref):
-    """One grid step per column block: every slot in the block reads
-    the same 1024-wide x-window, so the 8-way lane-shuffle gather runs
-    over the whole (g1/128, 128) slot tile at once (per-op overheads
-    amortize ~25x vs per-512-chunk processing)."""
-    cb = pl.program_id(0)
-    X = x_ref[pl.ds(cb * 8, 8), :]
-    cl = cl_ref[:].astype(jnp.int32)
-    rows = cl.shape[0]
-    q = cl >> 7
-    l = cl & 127
-    g = jnp.zeros((rows, 128), jnp.float32)
-    for qq in range(8):
-        cand = jnp.take_along_axis(
-            jnp.broadcast_to(X[qq : qq + 1, :], (rows, 128)), l, axis=1
-        )
-        g = g + jnp.where(q == qq, cand, 0.0)
-    e_ref[:] = (g * w_ref[:]).astype(e_ref.dtype)
+def _gather_kernel(x_ref, cl_ref, w_ref, e_ref, *, nb: int = 1):
+    """One grid step per ``nb`` column blocks: every slot in a block
+    reads the same 1024-wide x-window, so the 8-way lane-shuffle gather
+    runs over the whole (g1/128, 128) slot tile at once (per-op
+    overheads amortize ~25x vs per-512-chunk processing).  ``nb`` > 1
+    batches several column blocks per grid step -- grid-step overhead
+    (~2 us each) dominated the matvec on mid-size circuits when the
+    grid ran one step per column block."""
+    c = pl.program_id(0)
+    rows = cl_ref.shape[0] // nb
+    # Edge guard: the last grid step may run past n_cb (grid is
+    # ceil(n_cb/nb)); clamp the x-window read (those rows' output is
+    # write-masked / sliced away downstream).
+    max_cb = x_ref.shape[0] // 8 - 1
+    for i in range(nb):
+        cb = jnp.minimum(c * nb + i, max_cb)
+        X = x_ref[pl.ds(cb * 8, 8), :]
+        cl = cl_ref[pl.ds(i * rows, rows), :].astype(jnp.int32)
+        q = cl >> 7
+        l = cl & 127
+        g = jnp.zeros((rows, 128), jnp.float32)
+        for qq in range(8):
+            cand = jnp.take_along_axis(
+                jnp.broadcast_to(X[qq : qq + 1, :], (rows, 128)), l, axis=1
+            )
+            g = g + jnp.where(q == qq, cand, 0.0)
+        e_ref[pl.ds(i * rows, rows), :] = (
+            g * w_ref[pl.ds(i * rows, rows), :]
+        ).astype(e_ref.dtype)
 
 
 def _reduce_kernel(rb_ref, e_ref, rl_ref, y_ref, *, ry: int):
@@ -720,6 +746,10 @@ def _reduce_kernel_mxu(rb_ref, e_ref, rl_ref, y_ref, *, ry: int):
         y_ref[:] = jnp.zeros_like(y_ref)
 
     h_iota = jax.lax.broadcasted_iota(jnp.int32, (H, CHUNK), 0)
+    # The (128, 512) lane compare is the kernel's dominant VPU cost
+    # (~128 ops/slot).  int16 compares would pack 2 lanes/element but
+    # v5e Mosaic rejects vector cmpi on i16 ("Target does not support
+    # this comparison"), so it stays int32.
     lane_col = jax.lax.broadcasted_iota(jnp.int32, (128, CHUNK), 0)
 
     # Precision: when e carries bf16 intermediates (the power solver's
@@ -795,16 +825,24 @@ def _spmv_v2_call(
     ry = max(R, n_rbp * (RBLOCK // 128))
 
     rows_pc = g1 // 128
+    # Batch nb1 column blocks per gather grid step: the largest divisor
+    # of n_cb that keeps the step's VMEM blocks modest and the grid
+    # short (grid-step overhead was ~60% of the matvec on ibm10-size
+    # circuits at one step per column block).
+    cb_bytes = rows_pc * 128 * (2 + 4 + jnp.dtype(inter_dtype).itemsize)
+    nb1 = max(1, min(16, (4 << 20) // max(cb_bytes, 1), n_cb))
     e1 = pl.pallas_call(
-        _gather_kernel,
+        functools.partial(_gather_kernel, nb=nb1),
         out_shape=jax.ShapeDtypeStruct((n_cb * rows_pc, 128), inter_dtype),
-        grid=(n_cb,),
+        # ceil: the last (partial) step's out-of-range rows are
+        # write-masked by Pallas and sliced off by the [:S1] below.
+        grid=((n_cb + nb1 - 1) // nb1,),
         in_specs=[
             pl.BlockSpec((R, 128), lambda c: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((rows_pc, 128), lambda c: (c, 0)),
-            pl.BlockSpec((rows_pc, 128), lambda c: (c, 0)),
+            pl.BlockSpec((nb1 * rows_pc, 128), lambda c: (c, 0)),
+            pl.BlockSpec((nb1 * rows_pc, 128), lambda c: (c, 0)),
         ],
-        out_specs=pl.BlockSpec((rows_pc, 128), lambda c: (c, 0)),
+        out_specs=pl.BlockSpec((nb1 * rows_pc, 128), lambda c: (c, 0)),
         interpret=interpret,
     )(
         x2d,

@@ -95,10 +95,16 @@ def main() -> int:
     on_tpu = jax.default_backend() == "tpu"
     t0 = time.perf_counter()
     g_host = clique_expand(hg, "kl")
+    t_expand = time.perf_counter() - t0
     g = g_host.to_device(dtype=jnp.float32, with_plan=on_tpu)
     jax.block_until_ready(g.ell_weights)
+    t_dev = time.perf_counter() - t0 - t_expand
     mg = MegaGraph(g_host, plan=g.plan, device_graph=g) if on_tpu else None
     t_build = time.perf_counter() - t0
+    log(
+        f"build breakdown: expand={t_expand:.2f}s ell+plan+upload={t_dev:.2f}s "
+        f"mega={t_build - t_expand - t_dev:.2f}s"
+    )
     log(
         f"graph: nnz={g_host.nnz} max_deg={g_host.max_degree} "
         f"ell=({g.num_nodes},{g.max_degree}) build={t_build:.2f}s "

@@ -49,7 +49,14 @@ def run_ours(
     n_random: int,
     seed_start: int = 0,
     include_eig: bool = True,
+    ensemble: str = "index",
 ) -> None:
+    """ensemble="index": tie-break by node index (our engines' native
+    order, one graph upload per circuit).  ensemble="shuffle": relabel
+    the graph by the per-seed shuffle permutation
+    (kl.init.reference_shuffle_init) so equal-gain ties break in the
+    reference's randomized order; rows are tagged init
+    "random-shuffled"."""
     sys.path.insert(0, REPO)
     import jax
     import jax.numpy as jnp
@@ -57,7 +64,11 @@ def run_ours(
     from eig_kl_tpu.graph.expand import clique_expand
     from eig_kl_tpu.io.hgr import read_hgr
     from eig_kl_tpu.kl.engine import refine
-    from eig_kl_tpu.kl.init import random_split, split_from_eig
+    from eig_kl_tpu.kl.init import (
+        random_split,
+        reference_shuffle_init,
+        split_from_eig,
+    )
     from eig_kl_tpu.utils.config import KLConfig
 
     out = os.path.join(RESULTS, "ours_runs.jsonl")
@@ -73,28 +84,36 @@ def run_ours(
         # doing repeated runs would); per-run seconds below are pure
         # refinement so they compare against the reference's KL() span.
         g_host = clique_expand(hg, "kl")
-        g = g_host.to_device(dtype=jnp.float32, with_plan=on_tpu)
-        if on_tpu:
-            from eig_kl_tpu.kl.megakernel import MegaGraph, refine_mega
 
-            mg = MegaGraph(g_host, plan=g.plan, device_graph=g)
-            do_refine = lambda sides: refine_mega(mg, sides, config)
-        else:
-            do_refine = lambda sides: refine(g, sides, config)
+        def make_refine(gh):
+            g = gh.to_device(dtype=jnp.float32, with_plan=on_tpu)
+            if on_tpu:
+                from eig_kl_tpu.kl.megakernel import MegaGraph, refine_mega
+
+                mg = MegaGraph(gh, plan=g.plan, device_graph=g)
+                return lambda sides: refine_mega(mg, sides, config)
+            return lambda sides: refine(g, sides, config)
+
+        do_refine = make_refine(g_host)
+        init_tag = "random" if ensemble == "index" else "random-shuffled"
         runs = [("eig", 0)] if include_eig else []
-        runs += [("random", s) for s in range(seed_start, seed_start + n_random)]
+        runs += [(init_tag, s) for s in range(seed_start, seed_start + n_random)]
         warm = False
         for mode, seed in runs:
-            sides = (
-                split_from_eig(eig_path)
-                if mode == "eig"
-                else random_split(hg.num_nodes, seed)
-            )
+            if mode == "eig":
+                sides = split_from_eig(eig_path)
+                run = do_refine
+            elif ensemble == "index":
+                sides = random_split(hg.num_nodes, seed)
+                run = do_refine
+            else:
+                gr, sides, _perm = reference_shuffle_init(g_host, seed)
+                run = make_refine(gr)  # per-seed relabel + upload
             if not warm:  # pay the per-shape compile outside the timing
-                do_refine(sides)
+                run(sides)
                 warm = True
             t0 = time.perf_counter()
-            result = do_refine(sides)
+            result = run(sides)
             dt = time.perf_counter() - t0
             row = {
                 "impl": f"eig_kl_tpu-{platform}",
@@ -215,9 +234,16 @@ def report() -> str:
         "|---|---|---|---|---|---|",
     ]
     for name in CIRCUITS:
-        for mode in ["eig", "random"]:
-            r = agg([x for x in ref if x["circuit"] == name and x["init"] == mode])
+        for mode in ["eig", "random", "random-shuffled"]:
+            # shuffled-ensemble ours rows compare against the same
+            # reference random rows (the reference ensemble IS shuffled)
+            ref_mode = "random" if mode == "random-shuffled" else mode
+            r = agg(
+                [x for x in ref if x["circuit"] == name and x["init"] == ref_mode]
+            )
             o = agg([x for x in ours if x["circuit"] == name and x["init"] == mode])
+            if o is None and mode == "random-shuffled":
+                continue
             if r is None and o is None:
                 continue
             fmt = (
@@ -275,6 +301,7 @@ def main() -> int:
     ap.add_argument("--seed-start", type=int, default=0)
     ap.add_argument("--no-eig", action="store_true")
     ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--ensemble", choices=["index", "shuffle"], default="index")
     args = ap.parse_args()
     if args.cmd == "ours":
         run_ours(
@@ -282,6 +309,7 @@ def main() -> int:
             args.n_random,
             seed_start=args.seed_start,
             include_eig=not args.no_eig,
+            ensemble=args.ensemble,
         )
     elif args.cmd == "bestofk":
         run_bestofk(args.circuits, n_repeats=args.repeats)

@@ -86,6 +86,13 @@ def build_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="print the per-swap iteration table (cKL.cpp:323-330)",
     )
+    p_kl.add_argument(
+        "--shuffled-ties",
+        action="store_true",
+        help="random init only: break equal-gain ties in the "
+        "reference's randomized scan order (cKL.cpp:175-193) instead "
+        "of by node index",
+    )
 
     p_fused = sub.add_parser(
         "fused", help="in-process power-iteration EIG + KL (gKL2 pipeline)"
@@ -245,7 +252,12 @@ def _run_kl(args, fused: bool) -> int:
     else:
         init = eig_out_path(args.input) if args.eig_init else None
         run = kl_partition(
-            hg, init=init, kl_config=kl_config, seed=args.seed, dtype=dtype
+            hg,
+            init=init,
+            kl_config=kl_config,
+            seed=args.seed,
+            dtype=dtype,
+            shuffled_ties=getattr(args, "shuffled_ties", False),
         )
     profile_ctx.__exit__(None, None, None)
     runtime = time.perf_counter() - t0

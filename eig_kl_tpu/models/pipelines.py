@@ -25,7 +25,11 @@ from eig_kl_tpu.graph.expand import clique_expand
 from eig_kl_tpu.io.eigfile import EigResult
 from eig_kl_tpu.io.hgr import Hypergraph
 from eig_kl_tpu.kl.engine import KLResult, refine
-from eig_kl_tpu.kl.init import random_split, split_from_eig
+from eig_kl_tpu.kl.init import (
+    random_split,
+    reference_shuffle_init,
+    split_from_eig,
+)
 from eig_kl_tpu.spectral.partition import eig_partition
 from eig_kl_tpu.utils.config import KLConfig, SpectralConfig
 from eig_kl_tpu.utils.tracing import Tracer
@@ -86,6 +90,7 @@ def kl_partition(
     kl_config: KLConfig = KLConfig(),
     seed: int = 0,
     dtype=jnp.float32,
+    shuffled_ties: bool = False,
 ) -> PartitionRun:
     """KL refinement from a random or spectral initial partition.
 
@@ -95,23 +100,47 @@ def kl_partition(
         explicit initial sides.
       seed: RNG seed for the random init.
       dtype: device compute dtype for the KL engine.
+      shuffled_ties: random-init only — relabel the graph by the
+        shuffle permutation (kl.init.reference_shuffle_init) so
+        equal-gain ties break in the reference's randomized scan order
+        rather than by node index; results are mapped back to original
+        node ids.
     """
     tracer = Tracer()
+    perm = None
     with tracer.span("graph.build"):
         g_host = clique_expand(hg, "kl")
+        if shuffled_ties and init is None:
+            g_host, shuffled_sides, perm = reference_shuffle_init(
+                g_host, seed
+            )
         g = g_host.to_device(
             dtype=dtype, with_plan=jax.default_backend() == "tpu"
         )
     eig = init if isinstance(init, EigResult) else None
     with tracer.span("init"):
         if init is None:
-            sides = random_split(hg.num_nodes, seed)
+            sides = (
+                shuffled_sides
+                if perm is not None
+                else random_split(hg.num_nodes, seed)
+            )
         elif isinstance(init, (EigResult, str)):
             sides = split_from_eig(init)
         else:
             sides = np.asarray(init, dtype=np.int8)
     with tracer.span("kl.refine"):
         result = _refine_dispatch(g_host, g, sides, kl_config, dtype)
+    if perm is not None:
+        # Map the relabeled run back to original node ids
+        # (new node p == old node perm[p]).
+        mapped_sides = np.empty(len(perm), dtype=np.int8)
+        mapped_sides[perm] = np.asarray(result.sides)
+        mapped_best = np.empty(len(perm), dtype=np.int8)
+        mapped_best[perm] = np.asarray(result.best_sides)
+        result = dataclasses.replace(
+            result, sides=mapped_sides, best_sides=mapped_best
+        )
     return PartitionRun(
         circuit=hg.name,
         eig=eig,

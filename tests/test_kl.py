@@ -179,6 +179,29 @@ def test_determinism_same_seed_same_result(fract):
     np.testing.assert_array_equal(r1.cut_trajectory, r2.cut_trajectory)
 
 
+def test_reference_shuffle_init_isomorphism(fract):
+    """reference_shuffle_init reproduces the reference's randomized
+    tie-break ensemble (cKL.cpp:175-193) by relabeling: the run on the
+    relabeled graph is a legal run on the original graph — the
+    mapped-back partition has the same balance and the same
+    from-scratch cut as reported on the relabeled graph."""
+    import jax.numpy as jnp
+
+    from eig_kl_tpu.kl.init import reference_shuffle_init
+
+    g_host = clique_expand(fract, "kl", use_native=False)
+    gr, sides, perm = reference_shuffle_init(g_host, seed=7)
+    n = g_host.num_nodes
+    assert sides_balance(sides) == (n // 2, n - n // 2)
+    r = refine(gr.to_device(dtype=jnp.float32), sides, KLConfig(gain_eps=0.0))
+    mapped = np.empty(n, dtype=np.int8)
+    mapped[perm] = np.asarray(r.best_sides)
+    assert abs(brute_cut(g_host, mapped) - r.best_cut) < 1e-3
+    # distinct seeds shuffle distinctly
+    gr2, _, perm2 = reference_shuffle_init(g_host, seed=8)
+    assert not np.array_equal(perm, perm2)
+
+
 def test_mega_honors_max_iterations_exactly(fract):
     """A user-set cap must not be rounded up to the 4096 compile bucket
     (the kernel stops at the runtime cap)."""

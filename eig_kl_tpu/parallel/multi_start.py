@@ -118,6 +118,17 @@ def multi_start_refine(
     return best, best_cuts
 
 
+# Auto-chunk ceiling for one batched launch, in node-starts
+# (starts_per_launch * padded_nodes).  The whole batch runs as ONE
+# long-lived Mosaic kernel (a grid step per start, each a full
+# refinement); a single launch running for minutes trips the TPU
+# worker's watchdog and kills the process (measured: ibm10 x 2048
+# starts = 143M node-starts ~ est. 250 s crashed the worker;
+# industry2 x 2048 = 26M ran 72 s fine).  16M node-starts is ~10-30 s
+# of kernel time at the measured 3-5 us/swap.
+_LAUNCH_NODE_STARTS = 16 << 20
+
+
 def multi_start_refine_mega(
     graph,
     num_starts: int,
@@ -125,25 +136,37 @@ def multi_start_refine_mega(
     config: KLConfig = KLConfig(),
     base_seed: int = 0,
     device_graph=None,
+    launch_chunk: int | None = None,
 ) -> tuple[KLResult, np.ndarray]:
     """Multi-start refinement through the single-kernel Pallas engine.
 
-    All starts run in ONE kernel launch (a grid over the start axis,
-    :func:`eig_kl_tpu.kl.megakernel.refine_mega_batch`): one compile,
-    batched initial ``A @ s``/cut setup, and one host round-trip for
-    every trajectory, instead of a per-start host loop.  Per-start VMEM
-    stays constant (each grid step owns the (R, 128) state), so the
-    batch size is unbounded.  Args mirror :func:`multi_start_refine`
-    but take the host graph.
+    Starts run batched in a grid over the start axis
+    (:func:`eig_kl_tpu.kl.megakernel.refine_mega_batch`): one compile,
+    batched initial ``A @ s``/cut setup, and one host round-trip per
+    launch, instead of a per-start host loop.  Per-start VMEM stays
+    constant (each grid step owns the (R, 128) state), so the batch
+    size is memory-unbounded; very large batches are auto-split into
+    multiple launches to keep each kernel under the TPU worker's
+    watchdog (see ``_LAUNCH_NODE_STARTS``).
+
+    Args mirror :func:`multi_start_refine` but take the host graph;
+    ``launch_chunk`` overrides the auto starts-per-launch split.
     """
     from eig_kl_tpu.kl.megakernel import MegaGraph, refine_mega_batch
 
     plan = getattr(device_graph, "plan", None)
     mg = MegaGraph(graph, plan=plan, device_graph=device_graph)
-    batch = np.stack(
-        [random_split(graph.num_nodes, base_seed + i) for i in range(num_starts)]
-    )
-    results = refine_mega_batch(mg, batch, config)
+    if launch_chunk is None:
+        launch_chunk = max(8, _LAUNCH_NODE_STARTS // max(mg.padded_nodes, 1))
+    results = []
+    for s0 in range(0, num_starts, launch_chunk):
+        batch = np.stack(
+            [
+                random_split(graph.num_nodes, base_seed + i)
+                for i in range(s0, min(s0 + launch_chunk, num_starts))
+            ]
+        )
+        results += refine_mega_batch(mg, batch, config)
     cuts = np.asarray([r.best_cut for r in results])
     best = results[int(np.argmin(cuts))]
     return best, cuts

@@ -122,6 +122,23 @@ def test_multi_start_sharded_over_dp(problem):
     assert best_m.best_cut == pytest.approx(best_r.best_cut)
 
 
+def test_multi_start_mega_launch_chunking(problem):
+    """Auto-splitting a big batch into multiple kernel launches (the
+    TPU-worker-watchdog guard) returns the same per-start results as a
+    single launch."""
+    from eig_kl_tpu.parallel.multi_start import multi_start_refine_mega
+
+    g_host, _sides = problem
+    best_1, cuts_1 = multi_start_refine_mega(
+        g_host, 6, base_seed=2, launch_chunk=6
+    )
+    best_c, cuts_c = multi_start_refine_mega(
+        g_host, 6, base_seed=2, launch_chunk=4
+    )
+    np.testing.assert_allclose(cuts_c, cuts_1, rtol=1e-6)
+    assert best_c.best_cut == pytest.approx(best_1.best_cut)
+
+
 def test_multi_start_mega_sharded_matches_batched(problem):
     """The dp-sharded batched mega-kernel multi-start (one Pallas grid
     launch per chip) reproduces the single-chip batched engine exactly

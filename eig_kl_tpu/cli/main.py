@@ -234,18 +234,36 @@ def _run_kl(args, fused: bool) -> int:
         )
     elif getattr(args, "sharded", False):
         from eig_kl_tpu.graph.expand import clique_expand
-        from eig_kl_tpu.kl.init import random_split, split_from_eig
+        from eig_kl_tpu.kl.init import (
+            random_split,
+            reference_shuffle_init,
+            split_from_eig,
+        )
         from eig_kl_tpu.models.pipelines import PartitionRun
         from eig_kl_tpu.parallel import make_mesh
         from eig_kl_tpu.parallel.sharded_kl2 import sharded_refine_oc
 
-        sides = (
-            split_from_eig(eig_out_path(args.input))
-            if args.eig_init
-            else random_split(hg.num_nodes, args.seed)
-        )
         g_host = clique_expand(hg, "kl")
-        res = sharded_refine_oc(g_host, sides, make_mesh(), dtype=dtype)
+        perm = None
+        if args.eig_init:
+            sides = split_from_eig(eig_out_path(args.input))
+        elif getattr(args, "shuffled_ties", False):
+            g_host, sides, perm = reference_shuffle_init(g_host, args.seed)
+        else:
+            sides = random_split(hg.num_nodes, args.seed)
+        res = sharded_refine_oc(
+            g_host, sides, make_mesh(), config=kl_config, dtype=dtype
+        )
+        if perm is not None:
+            import dataclasses
+
+            mapped = np.empty(len(perm), dtype=np.int8)
+            mapped[perm] = np.asarray(res.sides)
+            mapped_best = np.empty(len(perm), dtype=np.int8)
+            mapped_best[perm] = np.asarray(res.best_sides)
+            res = dataclasses.replace(
+                res, sides=mapped, best_sides=mapped_best
+            )
         run = PartitionRun(
             circuit=hg.name, eig=None, kl=res, timings={}, nnz=g_host.nnz
         )

@@ -23,6 +23,7 @@ slot.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import NamedTuple
 
 import numpy as np
@@ -33,11 +34,14 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _ell_scatter(n, dmax, dtype_name, flat, idx, w):
-    """One jitted scatter: (flat positions, indices, weights) -> padded
-    ELL pair.  Jitted per (n, dmax, dtype) so a cold process pays one
-    compile (persisted by the compilation cache) instead of ~10 eager
-    dispatch compiles."""
+@functools.lru_cache(maxsize=64)
+def _ell_scatter_fn(n, dmax, dtype_name):
+    """Jitted scatter factory: (flat positions, indices, weights) ->
+    padded ELL pair.  Memoized per (n, dmax, dtype) so repeated builds
+    of the same shape hit jit's in-memory cache (a fresh closure per
+    call would retrace every time); a cold process pays one compile
+    (persisted by the compilation cache) instead of ~10 eager dispatch
+    compiles."""
     import jax
 
     @jax.jit
@@ -52,7 +56,11 @@ def _ell_scatter(n, dmax, dtype_name, flat, idx, w):
         )
         return ell_idx, ell_w
 
-    return build(flat, idx, w)
+    return build
+
+
+def _ell_scatter(n, dmax, dtype_name, flat, idx, w):
+    return _ell_scatter_fn(n, dmax, dtype_name)(flat, idx, w)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -18,6 +18,7 @@ _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__fil
 _LIB_PATH = os.path.join(_NATIVE_DIR, "libeigkl.so")
 
 _lib = None
+_load_error: str | None = None
 
 
 class _EklHgr(ctypes.Structure):
@@ -70,9 +71,23 @@ def _abi_of(lib) -> int:
 
 
 def _load():
-    global _lib
+    global _lib, _load_error
     if _lib is not None:
         return _lib
+    if _load_error is not None:
+        # Negative cache: don't re-run CDLL + make on every call once
+        # loading has failed in this process.
+        raise ImportError(_load_error)
+    try:
+        lib = _load_uncached()
+    except ImportError as e:
+        _load_error = str(e)
+        raise
+    _lib = lib
+    return lib
+
+
+def _load_uncached():
     if not os.path.exists(_LIB_PATH):
         try:
             _build_library()
@@ -80,22 +95,36 @@ def _load():
             raise ImportError(f"cannot build native library: {e}") from e
     lib = ctypes.CDLL(_LIB_PATH)
     if _abi_of(lib) != _ABI_VERSION:
-        # Stale build: rebuild in place and reload.  ctypes caches
-        # dlopen handles per path, so a same-path reload can return the
-        # old image; verify and refuse on any remaining mismatch.
+        # Stale build.  The stale image is mmap'd RIGHT NOW, and the
+        # linker truncates + rewrites its output in place -- rewriting
+        # a mapped inode can fault the old image's unfaulted pages.
+        # Unlink first (POSIX keeps the old inode alive for the
+        # existing mapping), let make create a FRESH inode, then load
+        # it through a unique temp copy: glibc's dlopen dedupes by
+        # pathname, so a same-path reload would return the stale
+        # handle regardless of the new file.
+        stale_abi = _abi_of(lib)
         try:
+            os.unlink(_LIB_PATH)
             _build_library()
         except (subprocess.SubprocessError, OSError) as e:
             raise ImportError(
-                f"native library ABI {_abi_of(lib)} != {_ABI_VERSION} "
+                f"native library ABI {stale_abi} != {_ABI_VERSION} "
                 f"and rebuild failed: {e}"
             ) from e
-        lib = ctypes.CDLL(_LIB_PATH)
+        import shutil
+        import tempfile
+
+        fd, fresh = tempfile.mkstemp(
+            suffix=".so", prefix="libeigkl_", dir=_NATIVE_DIR
+        )
+        os.close(fd)
+        shutil.copy2(_LIB_PATH, fresh)
+        lib = ctypes.CDLL(fresh)
         if _abi_of(lib) != _ABI_VERSION:
             raise ImportError(
                 f"native library ABI {_abi_of(lib)} != {_ABI_VERSION} "
-                "after rebuild (stale dlopen handle?); using Python "
-                "fallbacks"
+                "after rebuild; using Python fallbacks"
             )
     lib.ekl_read_hgr.restype = ctypes.POINTER(_EklHgr)
     lib.ekl_read_hgr.argtypes = [ctypes.c_char_p]
@@ -109,7 +138,6 @@ def _load():
         ctypes.c_int32,
     ]
     lib.ekl_free_csr.argtypes = [ctypes.POINTER(_EklCsr)]
-    _lib = lib
     return lib
 
 
@@ -222,8 +250,6 @@ def _load_plan_symbols(lib):
         return
     I32P = ctypes.POINTER(ctypes.c_int32)
     F64P = ctypes.POINTER(ctypes.c_double)
-    lib.ekl_plan_v1_chunks.restype = ctypes.c_int64
-    lib.ekl_plan_v1_chunks.argtypes = [ctypes.c_int64, ctypes.c_int64, I32P, I32P]
     lib.ekl_build_plan_v1.restype = ctypes.POINTER(_EklPlanV1)
     lib.ekl_build_plan_v1.argtypes = [ctypes.c_int64, ctypes.c_int64, I32P, I32P, F64P]
     lib.ekl_build_plan_v2.restype = ctypes.POINTER(_EklPlanV2)
@@ -245,13 +271,6 @@ def _coo_args(n, rows, cols, weights):
         cols.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         w.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
     )
-
-
-def plan_v1_chunks_native(n, rows, cols) -> int:
-    lib = _load()
-    _load_plan_symbols(lib)
-    r, c, _, rp, cp, _ = _coo_args(n, rows, cols, np.zeros(0))
-    return int(lib.ekl_plan_v1_chunks(n, len(r), rp, cp))
 
 
 def build_plan_v1_native(n, rows, cols, weights) -> dict:

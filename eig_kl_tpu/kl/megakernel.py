@@ -981,7 +981,11 @@ def _refine_mega_batch_refresh(
             gain_eps=config.gain_eps,
             interpret=interpret,
         )
-        _sf, lc, lg, la, lb, sc = jax.device_get(outs)
+        # Fetch everything EXCEPT the (S, R, 128) sf output, which the
+        # host replay below reconstructs from the swap log anyway --
+        # at tunnel bandwidth the unused array would dominate the
+        # transfer at large S * P.
+        lc, lg, la, lb, sc = jax.device_get(outs[1:])
         for k in range(S):
             if stopped[k]:
                 continue
@@ -1016,7 +1020,9 @@ def _refine_mega_batch_refresh(
     # gKL.cu:524-530 oracle).
     s_fin = np.zeros((S, P), np.float32)
     s_fin[:, :n] = 1.0 - 2.0 * sides_cur.astype(np.float32)
-    _a_v, verified = jax.device_get(
+    # Only the S verified-cut scalars cross the tunnel; the (S, R, 128)
+    # A@s array stays on device.
+    verified = jax.device_get(
         _batch_init(
             mg.spmv_plan,
             wsum,
@@ -1024,7 +1030,7 @@ def _refine_mega_batch_refresh(
             n=n,
             P=P,
             interp=interpret,
-        )
+        )[1]
     )
     results = []
     for k in range(S):

@@ -209,7 +209,15 @@ def multi_start_refine_mega_sharded(
         # replay between chunks, which does not compose with the
         # shard_map launch; run the single-chip batched refresh path
         # (refine_mega_batch handles refresh natively) instead of
-        # failing.
+        # failing.  That forfeits the dp sharding, so say so.
+        import warnings
+
+        warnings.warn(
+            "refresh_interval > 0 is not supported by the dp-sharded "
+            "batched launch; running all starts on a single chip "
+            "(~mesh-size x slower than requested)",
+            stacklevel=2,
+        )
         return multi_start_refine_mega(
             graph,
             num_starts,

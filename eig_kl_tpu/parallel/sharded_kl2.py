@@ -8,9 +8,12 @@ ONLY scalars per swap:
 
 * each shard additionally holds the **transpose partition** of its
   local adjacency rows: for every global node ``v``, the (local row,
-  weight) pairs of its local-row entries, padded to ``cmax``
-  (a CSC-ELL of the local slice).  Total memory across shards equals
-  the adjacency itself; it is the same data regrouped by column.
+  weight) pairs of its local-row entries — a two-level layout: a
+  CSC-ELL padded to a small fixed ``cmax`` (``_CMAX_DENSE``) plus a
+  flat overflow list for high-degree columns' tails.  Memory is
+  O(n_shards * n_pad * cmax + nnz): the same data regrouped by
+  column, never inflated by the global max column count (ibm10's
+  574-pin net would otherwise multiply every slot).
 * per swap the collectives are: one ``all_gather`` of each shard's
   (value, index) selection candidates (4 scalars/shard) and one
   scalar ``psum`` for ``w_ab``.  The ``A @ s`` update is then fully
@@ -63,35 +66,80 @@ class _OCState(NamedTuple):
     log_b: jnp.ndarray
 
 
+# Dense-slot ceiling for the per-shard CSC-ELL.  Columns with more
+# local entries than this spill to a flat per-shard overflow list that
+# is masked-scattered every swap (O(ov_max) local VPU work, still zero
+# ICI traffic).  Without the split, one high-degree column (ibm10's
+# 574-pin net) would set cmax for EVERY (shard, column) slot and the
+# dense arrays would dwarf the adjacency itself.
+_CMAX_DENSE = 16
+
+
 def _transpose_partition(
     g: Graph, n_pad: int, n_shards: int, dtype
-) -> tuple[np.ndarray, np.ndarray, int]:
-    """Per-shard CSC-ELL: colT_rows[p, v, k] = k-th local row of shard
-    p that has an edge to global node v (pad 0 with weight 0).
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray, int]:
+    """Two-level per-shard CSC of the local row slices.
+
+    Dense level: colT_rows[p, v, k] = k-th local row of shard p with an
+    edge to global node v, for k < _CMAX_DENSE (pad row 0 / weight 0).
+    Overflow level: the remaining (local row, global col, weight)
+    entries of shard p as flat lists padded to ov_max across shards.
 
     Returns (colT_rows int32[n_shards, n_pad, cmax],
-             colT_w dtype[n_shards, n_pad, cmax], cmax).
+             colT_w dtype[n_shards, n_pad, cmax],
+             ov_rows int32[n_shards, ov_max], ov_cols int32[...],
+             ov_w dtype[...], cmax).  Total memory is
+    O(n_shards * n_pad * cmax + nnz) — the dense level is bounded by
+    the small fixed cmax, not by the global max column count.
     """
     n = g.num_nodes
     n_l = n_pad // n_shards
     rows = np.repeat(np.arange(n, dtype=np.int64), g.degrees)
     cols = g.indices.astype(np.int64)
     shard = rows // n_l
-    # Count entries per (shard, column) to size cmax.
+    # Rank entries within each (shard, column) group.
     key = shard * n_pad + cols
     uniq, counts = np.unique(key, return_counts=True)
-    cmax = max(int(counts.max()) if counts.size else 1, 1)
+    cmax = min(max(int(counts.max()) if counts.size else 1, 1), _CMAX_DENSE)
     order = np.argsort(key, kind="stable")
     rank = np.arange(rows.shape[0]) - np.repeat(
         np.searchsorted(key[order], uniq), counts
     )
-    colT_rows = np.zeros((n_shards, n_pad, cmax), np.int32)
-    colT_w = np.zeros((n_shards, n_pad, cmax), dtype)
     sh_o = shard[order]
     co_o = cols[order]
-    colT_rows[sh_o, co_o, rank] = (rows[order] - sh_o * n_l).astype(np.int32)
-    colT_w[sh_o, co_o, rank] = g.data[order].astype(dtype)
-    return colT_rows, colT_w, cmax
+    ro_o = rows[order]
+    w_o = g.data[order].astype(dtype)
+
+    dense = rank < cmax
+    colT_rows = np.zeros((n_shards, n_pad, cmax), np.int32)
+    colT_w = np.zeros((n_shards, n_pad, cmax), dtype)
+    colT_rows[sh_o[dense], co_o[dense], rank[dense]] = (
+        ro_o[dense] - sh_o[dense] * n_l
+    ).astype(np.int32)
+    colT_w[sh_o[dense], co_o[dense], rank[dense]] = w_o[dense]
+
+    ov = ~dense
+    ov_counts = np.bincount(sh_o[ov], minlength=n_shards)
+    ov_max = max(int(ov_counts.max()) if ov_counts.size else 0, 1)
+    ov_rows = np.zeros((n_shards, ov_max), np.int32)
+    # Pad columns point at padded node n_pad-1's... any index unequal to
+    # a real swap target with weight 0 is inert; use col -1 sentinel.
+    ov_cols = np.full((n_shards, ov_max), -1, np.int32)
+    ov_w = np.zeros((n_shards, ov_max), dtype)
+    if ov.any():
+        # Position of each overflow entry within its shard's list.
+        ov_idx = np.flatnonzero(ov)
+        ov_sh = sh_o[ov_idx]
+        order2 = np.argsort(ov_sh, kind="stable")
+        ov_idx = ov_idx[order2]
+        ov_sh = ov_sh[order2]
+        pos = np.arange(ov_idx.size) - np.repeat(
+            np.cumsum(np.concatenate([[0], ov_counts[:-1]])), ov_counts
+        )
+        ov_rows[ov_sh, pos] = (ro_o[ov_idx] - ov_sh * n_l).astype(np.int32)
+        ov_cols[ov_sh, pos] = co_o[ov_idx].astype(np.int32)
+        ov_w[ov_sh, pos] = w_o[ov_idx]
+    return colT_rows, colT_w, ov_rows, ov_cols, ov_w, cmax
 
 
 @functools.cache
@@ -104,10 +152,14 @@ def _build_oc_kl(
 ):
     """Compile the owner-computes shard-mapped refinement loop."""
 
-    def run(ell_idx, ell_w, deg, colT_rows, colT_w, sides, n0, n1):
+    def run(
+        ell_idx, ell_w, deg, colT_rows, colT_w, ov_rows, ov_cols, ov_w,
+        sides, n0, n1,
+    ):
         # Local views: ell_idx/ell_w (n_l, dmax) for init/verify only;
-        # colT_rows/colT_w (n_pad, cmax) = this shard's transpose
-        # partition; deg (n_l,); sides (n_pad,) replicated.
+        # colT_rows/colT_w (n_pad, cmax) + ov_* (ov_max,) = this
+        # shard's two-level transpose partition; deg (n_l,);
+        # sides (n_pad,) replicated.
         n_l = ell_idx.shape[0]
         me = jax.lax.axis_index("mp")
         r0 = me * n_l
@@ -140,6 +192,25 @@ def _build_oc_kl(
             log_b=jnp.zeros(max_iters + 1, jnp.int32),
         )
 
+        # Carrier float for the one-collective candidate exchange.
+        # Node *indices* must survive the round trip exactly: for f64,
+        # a value cast is exact to 2^53; for f32/bf16 the index is
+        # BITCAST into f32 lanes (values widen bf16->f32 exactly), so
+        # no index is ever rounded (a plain f32 cast corrupts ids
+        # above 2^24, bf16 above 2^8).
+        carrier = jnp.float64 if dtype == jnp.float64 else jnp.float32
+
+        def _pack_idx(i):
+            i = (r0 + i).astype(jnp.int32)
+            if carrier == jnp.float64:
+                return i.astype(carrier)
+            return jax.lax.bitcast_convert_type(i, jnp.float32)
+
+        def _unpack_idx(x):
+            if carrier == jnp.float64:
+                return x.astype(jnp.int32)
+            return jax.lax.bitcast_convert_type(x, jnp.int32)
+
         def select2(free_l, s_l, a_s_l):
             """Both-side masked first-max in ONE all_gather: each shard
             contributes (d_best, index) per side (4 scalars)."""
@@ -150,20 +221,20 @@ def _build_oc_kl(
             li1 = jnp.argmax(dm1)
             cand = jnp.stack(
                 [
-                    dm0[li0],
-                    (r0 + li0).astype(dtype),
-                    dm1[li1],
-                    (r0 + li1).astype(dtype),
+                    dm0[li0].astype(carrier),
+                    _pack_idx(li0),
+                    dm1[li1].astype(carrier),
+                    _pack_idx(li1),
                 ]
             )
             allc = jax.lax.all_gather(cand, "mp")  # (n_shards, 4)
             p0 = jnp.argmax(allc[:, 0])
             p1 = jnp.argmax(allc[:, 2])
             return (
-                allc[p0, 1].astype(jnp.int32),
-                allc[p0, 0],
-                allc[p1, 3].astype(jnp.int32),
-                allc[p1, 2],
+                _unpack_idx(allc[p0, 1]),
+                allc[p0, 0].astype(dtype),
+                _unpack_idx(allc[p1, 3]),
+                allc[p1, 2].astype(dtype),
             )
 
         def col_entries(v):
@@ -186,20 +257,32 @@ def _build_oc_kl(
 
             rows_a, w_a = col_entries(a)
             rows_b, w_b = col_entries(b)
+            # Overflow entries of columns a/b held by this shard (the
+            # >= cmax tail of high-degree columns).
+            ovm_a = jnp.where(ov_cols == a, ov_w, 0.0)
+            ovm_b = jnp.where(ov_cols == b, ov_w, 0.0)
             # w_ab: only b's owner holds the (b, a) entry of column a.
             own_b = (b >= r0) & (b < r0 + n_l)
-            wab_l = jnp.where(
-                own_b & (rows_a == b - r0) & (w_a != 0), w_a, 0.0
-            ).sum()
+            wab_l = (
+                jnp.where(
+                    own_b & (rows_a == b - r0) & (w_a != 0), w_a, 0.0
+                ).sum()
+                + jnp.where(own_b & (ov_rows == b - r0), ovm_a, 0.0).sum()
+            )
             w_ab = jax.lax.psum(wab_l, "mp")  # the ONLY data collective
             gain = d_a + d_b - 2.0 * w_ab
             cut = st.cut - gain
 
             # Owner-computes A @ s update: scatter this shard's column
             # entries into its local slice; nothing crosses the ICI.
+            # Each local row holds at most one edge to a (resp. b), so
+            # the dense and overflow scatters touch disjoint rows and
+            # the float result is order-independent.
             s_a, s_b = st.s[a], st.s[b]
             a_s_l = st.a_s_l.at[rows_a].add(-2.0 * s_a * w_a)
             a_s_l = a_s_l.at[rows_b].add(-2.0 * s_b * w_b)
+            a_s_l = a_s_l.at[ov_rows].add(-2.0 * s_a * ovm_a)
+            a_s_l = a_s_l.at[ov_rows].add(-2.0 * s_b * ovm_b)
             s = st.s.at[a].set(-s_a).at[b].set(-s_b)
             free_l = st.free_l & (g_ids != a) & (g_ids != b)
 
@@ -254,6 +337,10 @@ def _build_oc_kl(
             # split hands each shard its own (n_pad, cmax) partition.
             P("mp", None),
             P("mp", None),
+            # overflow lists flattened (n_shards * ov_max,) likewise.
+            P("mp"),
+            P("mp"),
+            P("mp"),
             P(),
             P(),
             P(),
@@ -283,7 +370,7 @@ def sharded_refine_oc(
     n_pad = ((n + n_shards - 1) // n_shards) * n_shards
     np_dtype = np.dtype(jnp.dtype(dtype).name)
     ell_idx, ell_w, deg = _pad_ell(g, n_pad, np_dtype)
-    colT_rows, colT_w, _cmax = _transpose_partition(
+    colT_rows, colT_w, ov_rows, ov_cols, ov_w, _cmax = _transpose_partition(
         g, n_pad, n_shards, np_dtype
     )
 
@@ -311,6 +398,9 @@ def sharded_refine_oc(
         jnp.asarray(deg),
         jnp.asarray(colT_rows.reshape(n_shards * n_pad, -1)),
         jnp.asarray(colT_w.reshape(n_shards * n_pad, -1)),
+        jnp.asarray(ov_rows.reshape(-1)),
+        jnp.asarray(ov_cols.reshape(-1)),
+        jnp.asarray(ov_w.reshape(-1)),
         jnp.asarray(sides_pad),
         jnp.asarray(n - n1, jnp.int32),
         jnp.asarray(n1, jnp.int32),

@@ -318,25 +318,6 @@ typedef struct {
   int32_t status;
 } EklPlanV2;
 
-// Number of v1 chunks (for the v1-vs-v2 auto heuristic): sum over
-// (stripe x 1024-row-window) groups of ceil(count/512).
-int64_t ekl_plan_v1_chunks(int64_t n, int64_t nnz, const int32_t* rows,
-                           const int32_t* cols) {
-  int64_t P = round_up_i64(n > 0 ? n : 1, KW);
-  int64_t n_cb = P / KW;
-  int64_t nrw = P / KW;  // aligned 1024-row windows
-  std::vector<int64_t> counts(n_cb * nrw, 0);
-  for (int64_t i = 0; i < nnz; ++i) {
-    int64_t rb = rows[i] / KW;
-    if (rb > P / KW - 1) rb = P / KW - 1;
-    counts[(int64_t)(cols[i] / KW) * nrw + rb]++;
-  }
-  int64_t chunks = 0;
-  for (int64_t c : counts)
-    if (c) chunks += (c + KCH - 1) / KCH;
-  return chunks;
-}
-
 EklPlanV1* ekl_build_plan_v1(int64_t n, int64_t nnz, const int32_t* rows,
                              const int32_t* cols, const double* w) {
   EklPlanV1* out = new EklPlanV1();

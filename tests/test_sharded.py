@@ -79,6 +79,70 @@ def test_owner_computes_various_shard_counts(problem):
         )
 
 
+def test_owner_computes_overflow_columns(rng):
+    """High-degree columns exceeding the dense CSC-ELL slot count
+    (_CMAX_DENSE) spill to the per-shard overflow lists; the
+    trajectory must still match the single-chip engine exactly."""
+    from conftest import random_hypergraph
+    from eig_kl_tpu.parallel import sharded_kl2
+    from eig_kl_tpu.parallel.sharded_kl2 import (
+        _transpose_partition,
+        sharded_refine_oc,
+    )
+    from eig_kl_tpu.io.hgr import Hypergraph
+
+    hg = random_hypergraph(rng, num_nodes=64, num_nets=60, max_net=4)
+    # One extra 41-pin net -> a 40-degree clique; with 2 shards some
+    # columns hold >16 local entries and must overflow.
+    pins = np.concatenate([hg.pins, np.arange(41, dtype=np.int32)])
+    offs = np.concatenate(
+        [hg.net_offsets, [hg.net_offsets[-1] + 41]]
+    ).astype(np.int64)
+    hg = Hypergraph(
+        num_nodes=64, num_nets=hg.num_nets + 1, pins=pins, net_offsets=offs
+    )
+    g = clique_expand(hg, "kl", use_native=False)
+    n_shards = 2
+    colT_r, colT_w, ov_r, ov_c, ov_w, cmax = _transpose_partition(
+        g, 64, n_shards, np.float64
+    )
+    assert cmax == sharded_kl2._CMAX_DENSE
+    assert (ov_c >= 0).sum() > 0, "test graph must exercise overflow"
+    # Every nnz entry lands exactly once across the two levels.
+    assert (colT_w != 0).sum() + (ov_c >= 0).sum() == g.nnz
+
+    sides = random_split(64, 3)
+    ref = refine(g.to_device(dtype=jnp.float64), sides, KLConfig())
+    shd = sharded_refine_oc(g, sides, make_mesh(2), KLConfig(), dtype=jnp.float64)
+    assert shd.iterations == ref.iterations
+    np.testing.assert_allclose(shd.cut_trajectory, ref.cut_trajectory, rtol=1e-12)
+    np.testing.assert_array_equal(shd.sides, ref.sides)
+    assert shd.drift < 1e-9
+
+
+def test_owner_computes_bf16_index_packing(problem):
+    """With a bfloat16 compute dtype, node indices above 256 cannot
+    survive a value cast; the bitcast packing must keep the swap log's
+    ids exact and the cut oracle consistent."""
+    from eig_kl_tpu.parallel.sharded_kl2 import sharded_refine_oc
+    from conftest import random_hypergraph
+
+    rng = np.random.default_rng(9)
+    hg = random_hypergraph(rng, num_nodes=320, num_nets=600, max_net=4)
+    g = clique_expand(hg, "kl", use_native=False)
+    sides = random_split(320, 1)
+    shd = sharded_refine_oc(
+        g, sides, make_mesh(4), KLConfig(max_iterations=40),
+        dtype=jnp.bfloat16,
+    )
+    # Swapped ids recorded in the log must be real node ids (mapping
+    # through bf16 values would collapse most of them to multiples of 2).
+    assert shd.iterations > 0
+    assert int(np.asarray(shd.sides).sum()) == int(sides.sum())
+    # bf16 arithmetic is coarse; the oracle still bounds the drift.
+    assert shd.drift <= max(4.0, 0.05 * abs(shd.final_cut))
+
+
 def test_sharded_on_2d_mesh(problem):
     """Works when the mesh also has a dp axis (computation replicated
     across dp)."""

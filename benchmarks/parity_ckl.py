@@ -134,6 +134,7 @@ def run_bestofk(
     n_repeats: int = 3,
     base_seed: int = 1000,
     k_cap: int = 2048,
+    rep_offset: int = 0,
 ) -> None:
     """Wall-clock-matched protocol: best-of-K multi-start where
     K = floor(reference seconds per run / our seconds per run) -- the
@@ -187,7 +188,7 @@ def run_bestofk(
             return multi_start_refine(g, K, config=config, base_seed=seed)
 
         do(base_seed)  # warm the per-shape compile outside the timing
-        for rep in range(n_repeats):
+        for rep in range(rep_offset, rep_offset + n_repeats):
             seed = base_seed + rep * k_cap
             t0 = time.perf_counter()
             best, cuts = do(seed)
@@ -301,6 +302,7 @@ def main() -> int:
     ap.add_argument("--seed-start", type=int, default=0)
     ap.add_argument("--no-eig", action="store_true")
     ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--rep-offset", type=int, default=0)
     ap.add_argument("--ensemble", choices=["index", "shuffle"], default="index")
     args = ap.parse_args()
     if args.cmd == "ours":
@@ -312,7 +314,9 @@ def main() -> int:
             ensemble=args.ensemble,
         )
     elif args.cmd == "bestofk":
-        run_bestofk(args.circuits, n_repeats=args.repeats)
+        run_bestofk(
+            args.circuits, n_repeats=args.repeats, rep_offset=args.rep_offset
+        )
     else:
         print(report())
     return 0

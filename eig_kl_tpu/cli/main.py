@@ -98,6 +98,16 @@ def build_parser() -> argparse.ArgumentParser:
         "fused", help="in-process power-iteration EIG + KL (gKL2 pipeline)"
     )
     _add_common(p_fused)
+    p_fused.add_argument(
+        "--power-iters",
+        type=int,
+        default=None,
+        help="cap the power-iteration budget (reference cap 1000, "
+        "gKL2.cu:26).  Measured on the reference circuits: the sign "
+        "exit fires at 126-401 iterations, and EARLIER-stopped "
+        "iterates refine as well or better (see NOTES.md), so a "
+        "100-300 cap is a free speed lever",
+    )
 
     p_gen = sub.add_parser("generate", help="synthetic circuit generator")
     p_gen.add_argument("size", type=float, help="size multiplier (1.0 = 201,920 nodes)")
@@ -175,10 +185,13 @@ def _run_kl(args, fused: bool) -> int:
     profile_ctx = maybe_profile()
     profile_ctx.__enter__()
     if fused:
+        spec_kwargs = {}
+        if getattr(args, "power_iters", None) is not None:
+            spec_kwargs["max_iterations"] = args.power_iters
         run = fused_partition(
             hg,
             use_eig=args.eig_init,
-            spectral_config=SpectralConfig(solver="power"),
+            spectral_config=SpectralConfig(solver="power", **spec_kwargs),
             kl_config=kl_config,
             seed=args.seed,
             dtype=dtype,

@@ -45,6 +45,23 @@ class TestCli:
         assert _main(["kl", "c.hgr", "--sharded"]) == 0
         assert "Verified cut size" in capsys.readouterr().out
 
+    def test_kl_sharded_honors_config(self, workdir, capsys):
+        """--sharded must respect the user's KL flags (review finding:
+        they were silently dropped)."""
+        _main(["generate", "0.001", "-o", "c.hgr", "--seed", "1"])
+        assert _main(["kl", "c.hgr", "--sharded", "--gain-eps", "1e-6"]) == 0
+        assert "Verified cut size" in capsys.readouterr().out
+
+    def test_kl_sharded_shuffled_ties(self, workdir, capsys):
+        _main(["generate", "0.001", "-o", "c.hgr", "--seed", "1"])
+        assert _main(["kl", "c.hgr", "--sharded", "--shuffled-ties"]) == 0
+        assert "Verified cut size" in capsys.readouterr().out
+
+    def test_fused_power_iters(self, workdir, capsys):
+        _main(["generate", "0.001", "-o", "c.hgr", "--seed", "1"])
+        assert _main(["fused", "c.hgr", "-EIG", "--power-iters", "60"]) == 0
+        assert "Verified cut size" in capsys.readouterr().out
+
     def test_kl_table(self, workdir, capsys):
         _main(["generate", "0.001", "-o", "c.hgr", "--seed", "1"])
         assert _main(["kl", "c.hgr", "--table"]) == 0

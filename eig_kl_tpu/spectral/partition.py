@@ -77,12 +77,17 @@ def eig_partition(
         )
 
     if config.solver == "power":
-        from eig_kl_tpu.spectral.power import power_iteration_fiedler
+        from eig_kl_tpu.spectral.power import power_partition_fiedler
 
         if graph is None:
             graph = clique_expand(hg, "kl").to_device(dtype=dtype)
-        lam, vec = power_iteration_fiedler(graph, config, dtype=dtype)
-        med, sides = median_split(vec, convention="upper")
+        # Fused solve + "upper" median split: the solver packs
+        # [vector, median, lambda, iterations] into one array so the
+        # whole phase costs a single device fetch (a ~30 ms-floor
+        # operation through the tunnel; the unpacked path paid it 5x).
+        lam, med, vec, sides = power_partition_fiedler(
+            graph, config, dtype=dtype
+        )
     elif config.solver in ("lanczos", "lobpcg"):
         if graph is None:
             if host_graph is None:

@@ -28,6 +28,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from eig_kl_tpu.graph.csr import DeviceGraph
 from eig_kl_tpu.ops.partition import spmv
@@ -103,22 +104,21 @@ class _MomState(NamedTuple):
     iteration: jnp.ndarray
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "shift",
-        "tolerance",
-        "min_iters",
-        "max_iters",
-        "seed",
-        "dtype",
-        "convergence",
-        "check_interval",
-        "stable_checks",
-        "inter_dtype",
-    ),
+_POWER_STATICS = (
+    "shift",
+    "tolerance",
+    "min_iters",
+    "max_iters",
+    "seed",
+    "dtype",
+    "convergence",
+    "check_interval",
+    "stable_checks",
+    "inter_dtype",
 )
-def _power_core(
+
+
+def _power_core_impl(
     g,
     shift,
     tolerance,
@@ -409,3 +409,91 @@ def _power_core(
     # Rayleigh quotient on the normalized Laplacian.
     lam = jnp.vdot(v, norm_lap(v))
     return lam, from_state(v), final.iteration
+
+
+_power_core = functools.partial(jax.jit, static_argnames=_POWER_STATICS)(
+    _power_core_impl
+)
+
+
+@functools.partial(jax.jit, static_argnames=_POWER_STATICS)
+def _power_core_packed(
+    g,
+    shift,
+    tolerance,
+    min_iters,
+    max_iters,
+    seed,
+    dtype,
+    convergence="gkl2",
+    check_interval=25,
+    stable_checks=2,
+    inter_dtype="float32",
+):
+    """_power_core plus the "upper" median (gKL2.cu:396-398), packed
+    into ONE array ``[v(n), median, lambda, iterations]`` so the whole
+    spectral phase costs a single device fetch.  Through the tunnel a
+    device_get has a ~30 ms floor; the unpacked path pays it 4-5 times
+    (lambda, median, sides, values, count) -- more than the entire
+    126-iteration solve at 200K nodes."""
+    lam, v, iters = _power_core_impl(
+        g,
+        shift,
+        tolerance,
+        min_iters,
+        max_iters,
+        seed,
+        dtype,
+        convergence=convergence,
+        check_interval=check_interval,
+        stable_checks=stable_checks,
+        inter_dtype=inter_dtype,
+    )
+    n = v.shape[0]
+    med = jnp.sort(v)[n // 2]
+    extras = jnp.stack(
+        [med.astype(v.dtype), lam.astype(v.dtype), iters.astype(v.dtype)]
+    )
+    return jnp.concatenate([v, extras])
+
+
+def power_partition_fiedler(
+    g: DeviceGraph,
+    config: SpectralConfig = SpectralConfig(solver="power"),
+    *,
+    dtype=jnp.float32,
+):
+    """Fused power solve + "upper"-median split, one device fetch.
+
+    Returns host-side ``(eigenvalue, median, values, sides)`` with
+    ``sides[i] = median > values[i]`` (int8) -- the gKL2 split
+    semantics (gKL2.cu:403-414).  Numerically identical to
+    ``power_iteration_fiedler`` + ``median_split(..., "upper")``: the
+    median is the same device sort, and the f32 comparison against it
+    is exact on host bits.  Stashes ``last_iterations`` like the
+    unpacked entry point."""
+    convergence = config.convergence
+    if convergence == "auto":
+        convergence = "gkl2" if jnp.dtype(dtype) == jnp.float64 else "sign"
+    packed = _power_core_packed(
+        g,
+        shift=config.shift,
+        tolerance=config.tolerance,
+        min_iters=config.min_power_iters,
+        max_iters=config.max_iterations,
+        seed=config.seed,
+        dtype=jnp.dtype(dtype).name,
+        convergence=convergence,
+        check_interval=config.check_interval,
+        stable_checks=config.stable_checks,
+        inter_dtype=config.inter_dtype,
+    )
+    p = np.asarray(packed)  # the single transfer
+    n = g.num_nodes
+    values = p[:n]
+    med = p[n].item()
+    lam = p[n + 1].item()
+    global last_iterations
+    last_iterations = int(p[n + 2])
+    sides = (med > values).astype(np.int8)
+    return lam, med, values, sides

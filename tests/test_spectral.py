@@ -132,6 +132,24 @@ def test_power_iteration_fract(fract):
     np.testing.assert_allclose(np.asarray(vec), np.asarray(vec2))
 
 
+def test_power_partition_packed_matches_unpacked(fract):
+    """The single-fetch packed entry point (power_partition_fiedler)
+    is bit-identical to power_iteration_fiedler + median_split."""
+    from eig_kl_tpu.spectral.power import power_partition_fiedler
+
+    g = clique_expand(fract, "kl").to_device(dtype=jnp.float32)
+    cfg = SpectralConfig(solver="power")
+    lam_u, vec_u = power_iteration_fiedler(g, cfg, dtype=jnp.float32)
+    med_u, sides_u = median_split(vec_u, convention="upper")
+    lam_p, med_p, vec_p, sides_p = power_partition_fiedler(
+        g, cfg, dtype=jnp.float32
+    )
+    assert lam_p == float(lam_u)
+    assert med_p == float(med_u)
+    np.testing.assert_array_equal(vec_p, np.asarray(vec_u))
+    np.testing.assert_array_equal(sides_p, np.asarray(sides_u))
+
+
 def test_power_momentum_fract(fract):
     """Momentum (lazy-walk Chebyshev) mode: converges to a genuine
     non-constant mode -- deflated Rayleigh quotient strictly positive

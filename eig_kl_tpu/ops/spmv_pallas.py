@@ -367,6 +367,7 @@ def spmv_pallas_2d(
             g2=plan.g2,
             interpret=interpret,
             inter_dtype=inter_dtype,
+            rblock=plan.rblock,
         )
         if plan.tail is not None:
             y = y + _spmv_call(plan.tail, x2d, interpret=interpret)
@@ -412,6 +413,7 @@ def spmv_pallas(
             g1=plan.g1,
             g2=plan.g2,
             interpret=interpret,
+            rblock=plan.rblock,
         )
         if plan.tail is not None:
             y = y + _spmv_call(plan.tail, x2d, interpret=interpret)
@@ -498,6 +500,7 @@ class SpmvPlanV2:
     quantum: int
     g1: int
     g2: int
+    rblock: int = RBLOCK
 
     def tree_flatten(self):
         children = (self.col_local, self.weights, self.rl_t, self.rb_of, self.tail)
@@ -508,6 +511,7 @@ class SpmvPlanV2:
             self.quantum,
             self.g1,
             self.g2,
+            self.rblock,
         )
         return children, aux
 
@@ -522,7 +526,27 @@ def build_plan_v2(
     cols: np.ndarray,
     weights: np.ndarray,
     use_native: bool | None = None,
+    rblock: int | None = None,
 ) -> SpmvPlanV2:
+    # The (col-block x row-block) bucket GRID is dense, so its size
+    # grows as n^2/(WINDOW*rblock) while nnz grows ~linearly: at 1.8M
+    # nodes a 512-row block gives 6.3M buckets for 9.9M entries (mean
+    # occupancy 1.6, slots 5.1x nnz after the Q>=8 quantum) and both
+    # the dense transpose and the one-hot reduce pay the padding.
+    # Auto-coarsen the row block until mean occupancy >= 4 (capped at
+    # 4096 rows = 32 one-hot h-groups); sizes that are already dense
+    # (200K: occupancy 14) keep the historical 512.
+    if rblock is None:
+        P_est = _round_up(max(n, 1), WINDOW)
+        n_cb_est = P_est // WINDOW
+        nnz_est = max(rows.shape[0], 1)
+        rblock = RBLOCK
+        while (
+            rblock < 4096
+            and nnz_est < 4 * n_cb_est * max(P_est // rblock, 1)
+        ):
+            rblock *= 2
+    assert rblock % 128 == 0 and rblock <= 4096
     if use_native is not False and rows.shape[0] > 0:
         try:
             from eig_kl_tpu.io import native_io
@@ -538,7 +562,7 @@ def build_plan_v2(
             q_min = 0
             for _ in range(5):
                 d = native_io.build_plan_v2_native(
-                    n, rows, cols, weights, q_min=q_min
+                    n, rows, cols, weights, q_min=q_min, rblock=rblock
                 )
                 tail = None
                 if d["tail"] is not None:
@@ -583,6 +607,7 @@ def build_plan_v2(
                 quantum=d["quantum"],
                 g1=d["g1"],
                 g2=d["g2"],
+                rblock=rblock,
             )
         except (ImportError, OSError):
             if use_native:
@@ -592,7 +617,8 @@ def build_plan_v2(
     rows = rows.astype(np.int64)
     cols = cols.astype(np.int64)
     n_cb = P // WINDOW
-    n_rb = P // RBLOCK
+    # ceil: P is a WINDOW multiple but not necessarily an rblock one.
+    n_rb = -(-P // rblock)
 
     lam = max(nnz / (n_cb * n_rb), 1.0)
     Q = 4
@@ -600,7 +626,7 @@ def build_plan_v2(
         Q *= 2
 
     cb = cols // WINDOW
-    rb = rows // RBLOCK
+    rb = rows // rblock
     bucket = cb * n_rb + rb
     order = np.lexsort((rows, bucket))
     rows, cols, w = rows[order], cols[order], weights[order]
@@ -638,7 +664,7 @@ def build_plan_v2(
     # Pass-2 transposed slot grid: (n_rbp, n_cb, Q) padded to g2 lanes.
     g2 = _round_up(n_cb * Q, CHUNK)
     rl_grid = np.full((n_cb, n_rbp, Q), -1, np.int16)
-    rl_grid.reshape(-1)[slot] = (rows_m - rb_m * RBLOCK).astype(np.int16)
+    rl_grid.reshape(-1)[slot] = (rows_m - rb_m * rblock).astype(np.int16)
     rl_t = np.full((n_rbp, g2), -1, np.int16)
     rl_t[:, : n_cb * Q] = rl_grid.transpose(1, 0, 2).reshape(n_rbp, n_cb * Q)
     C2 = n_rbp * g2 // CHUNK
@@ -660,6 +686,7 @@ def build_plan_v2(
         quantum=Q,
         g1=g1,
         g2=g2,
+        rblock=rblock,
     )
 
 
@@ -699,8 +726,9 @@ def _gather_kernel(x_ref, cl_ref, w_ref, e_ref, *, nb: int = 1):
         ).astype(e_ref.dtype)
 
 
-def _reduce_kernel(rb_ref, e_ref, rl_ref, y_ref, *, ry: int):
+def _reduce_kernel(rb_ref, e_ref, rl_ref, y_ref, *, ry: int, rblock: int = RBLOCK):
     c = pl.program_id(0)
+    H = rblock // 128
 
     @pl.when(c == 0)
     def _():
@@ -715,17 +743,19 @@ def _reduce_kernel(rb_ref, e_ref, rl_ref, y_ref, *, ry: int):
             e_col = eT[:, j : j + 1]
             rl_col = rlT[:, j : j + 1]
             rb = rb_ref[(c * GB2 + b) * 8 + j]
-            for h in range(RBLOCK // 128):
+            for h in range(H):
                 oh = (rl_col == iota + 128 * h).astype(jnp.float32)
                 part = jnp.sum(oh * e_col, axis=0, keepdims=True)
-                base = rb * (RBLOCK // 128) + h
+                base = rb * H + h
                 y_ref[pl.ds(base, 1), :] += part
         return 0
 
     lax.fori_loop(0, GB2, body, 0)
 
 
-def _reduce_kernel_mxu(rb_ref, e_ref, rl_ref, y_ref, *, ry: int):
+def _reduce_kernel_mxu(
+    rb_ref, e_ref, rl_ref, y_ref, *, ry: int, rblock: int = RBLOCK
+):
     """MXU form of the one-hot reduce: per 512-slot sub-chunk, split
     the row-local into (128-group h, lane) once, then contract
 
@@ -733,13 +763,13 @@ def _reduce_kernel_mxu(rb_ref, e_ref, rl_ref, y_ref, *, ry: int):
 
     as one (H, 512) x (128, 512)^T ``dot_general`` on the MXU.  Per
     slot this costs ~H + 128 VPU compare/select ops + 128*H MACs on
-    the MXU, vs the VPU kernel's RBLOCK compare+mul+add chain
-    (~3*RBLOCK VPU ops/slot) -- the reduce pass stops being the
+    the MXU, vs the VPU kernel's rblock compare+mul+add chain
+    (~3*rblock VPU ops/slot) -- the reduce pass stops being the
     matvec's compute bottleneck (it was ~10x the gather pass at 10M
     nnz).  Padding slots carry rl = -1: the arithmetic shift makes
     (rl >> 7) = -1 match no h, so their e never reaches the dot."""
     c = pl.program_id(0)
-    H = RBLOCK // 128
+    H = rblock // 128
 
     @pl.when(c == 0)
     def _():
@@ -782,8 +812,10 @@ def _reduce_kernel_mxu(rb_ref, e_ref, rl_ref, y_ref, *, ry: int):
                 preferred_element_type=jnp.float32,
             )                                            # (H, 128)
             rb = rb_ref[(c * GB2 + b) * 8 + j]
-            for h in range(H):
-                y_ref[pl.ds(rb * H + h, 1), :] += part[h : h + 1, :]
+            # One (H, 128) dynamic update, not H row updates: at the
+            # coarse row-blocks (H = 16/32) the per-row form is 8*H
+            # dynamic slices per body -- slow to run AND to compile.
+            y_ref[pl.ds(rb * H, H), :] += part
         return 0
 
     lax.fori_loop(0, GB2, body, 0)
@@ -800,6 +832,7 @@ def _reduce_kernel_mxu(rb_ref, e_ref, rl_ref, y_ref, *, ry: int):
         "interpret",
         "inter_dtype",
         "reduce_impl",
+        "rblock",
     ),
 )
 def _spmv_v2_call(
@@ -817,12 +850,13 @@ def _spmv_v2_call(
     interpret: bool = False,
     inter_dtype=jnp.float32,
     reduce_impl: str = "mxu",
+    rblock: int = RBLOCK,
 ):
     C1 = col_local.shape[0]
     C2g = rl_t.shape[0]
     R = x2d.shape[0]
     Q = quantum
-    ry = max(R, n_rbp * (RBLOCK // 128))
+    ry = max(R, n_rbp * (rblock // 128))
 
     rows_pc = g1 // 128
     # Batch nb1 column blocks per gather grid step: the largest divisor
@@ -866,7 +900,7 @@ def _spmv_v2_call(
 
     red = _reduce_kernel_mxu if reduce_impl == "mxu" else _reduce_kernel
     y = pl.pallas_call(
-        functools.partial(red, ry=ry),
+        functools.partial(red, ry=ry, rblock=rblock),
         out_shape=jax.ShapeDtypeStruct((ry, 128), jnp.float32),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,

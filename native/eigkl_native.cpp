@@ -34,7 +34,7 @@ extern "C" {
 // ekl_build_plan_v2 q_min argument, slot-grid rounding).  io/native_io.py
 // refuses a library whose version differs and rebuilds -- a stale .so
 // would otherwise silently misinterpret arguments.
-int64_t ekl_abi_version(void) { return 3; }
+int64_t ekl_abi_version(void) { return 4; }
 
 typedef struct {
   int64_t num_nets;
@@ -394,17 +394,23 @@ EklPlanV1* ekl_build_plan_v1(int64_t n, int64_t nnz, const int32_t* rows,
 
 EklPlanV2* ekl_build_plan_v2(int64_t n, int64_t nnz, const int32_t* rows,
                              const int32_t* cols, const double* w,
-                             int64_t q_min) {
+                             int64_t q_min, int64_t rblock) {
   // q_min: lower bound on the bucket quantum (0 = automatic).  Callers
   // raise it when the overflow tail comes back pathologically large
   // (clique-structured rows at multi-million-node scale overflow the
   // lam-derived Q, and a huge tail blows the v1 plan's SMEM arrays).
+  // rblock: y-window rows per row-block (0 = the historical 512); the
+  // caller coarsens it at multi-million-node scale so the dense bucket
+  // grid stays ~nnz-sized (see ops/spmv_pallas.py build_plan_v2).
+  if (rblock <= 0) rblock = KRB;
   EklPlanV2* out = new EklPlanV2();
   std::memset(out, 0, sizeof(EklPlanV2));
   int64_t P = round_up_i64(n > 0 ? n : 1, KW);
   out->padded_nodes = P;
   int64_t n_cb = P / KW;
-  int64_t n_rb = P / KRB;
+  // ceil: P is a KW multiple but not necessarily an rblock multiple;
+  // a floor here lets rows/rblock index one past the bucket grid.
+  int64_t n_rb = (P + rblock - 1) / rblock;
   double lam = nnz > 0 ? (double)nnz / (double)(n_cb * n_rb) : 1.0;
   if (lam < 1.0) lam = 1.0;
   int64_t Q = 4;
@@ -444,14 +450,14 @@ EklPlanV2* ekl_build_plan_v2(int64_t n, int64_t nnz, const int32_t* rows,
   std::vector<float> tw;
   for (int64_t i = 0; i < nnz; ++i) {
     int64_t cb = cols[i] / KW;
-    int64_t rb = rows[i] / KRB;
+    int64_t rb = rows[i] / rblock;
     int32_t r = rank[cb * n_rb + rb]++;
     if (r < Q) {
       int64_t slot = cb * g1 + rb * Q + r;
       out->col_local[slot] = (int16_t)(cols[i] - cb * KW);
       out->weights[slot] = (float)w[i];
       // transposed pass-2 position: (rb, cb*Q + r) with row stride g2
-      out->rl_t[rb * g2 + cb * Q + r] = (int16_t)(rows[i] - rb * KRB);
+      out->rl_t[rb * g2 + cb * Q + r] = (int16_t)(rows[i] - rb * rblock);
     } else {
       trow.push_back(rows[i]);
       tcol.push_back(cols[i]);

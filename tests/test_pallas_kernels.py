@@ -330,6 +330,68 @@ class TestBf16Intermediates:
         scale = np.abs(y_ref).max()
         assert np.abs(y16 - y_ref).max() <= 2e-2 * scale
 
+    def test_v2_coarse_rblock_matches(self, rng):
+        """Coarsened row-blocks (the multi-million-node bucket-grid fix:
+        rblock 1024/2048/4096 instead of 512) stay exact through both
+        the native and the NumPy planner, f32 and bf16."""
+        from eig_kl_tpu.ops.spmv_pallas import build_plan_v2, spmv_pallas_2d
+
+        n, nnz = 6000, 18000
+        rows = np.sort(rng.integers(0, n, nnz).astype(np.int64))
+        cols = rng.integers(0, n, nnz).astype(np.int64)
+        w = rng.random(nnz).astype(np.float32)
+        x = rng.standard_normal(n).astype(np.float32)
+        y_ref = np.zeros(n, np.float32)
+        np.add.at(y_ref, rows, w * x[cols])
+        for rblock in (1024, 2048, 4096):
+            for use_native in (True, None):
+                try:
+                    plan = build_plan_v2(
+                        n, rows, cols, w, use_native=use_native, rblock=rblock
+                    )
+                except (ImportError, OSError):
+                    continue  # no native toolchain in this env
+                assert plan.rblock == rblock
+                P = plan.padded_nodes
+                x2d = (
+                    jnp.zeros(P, jnp.float32).at[:n].set(x).reshape(P // 128, 128)
+                )
+                y = np.asarray(
+                    spmv_pallas_2d(plan, x2d, interpret=True)
+                ).reshape(-1)[:n]
+                np.testing.assert_allclose(
+                    y, y_ref, rtol=1e-4, atol=1e-4, err_msg=f"rblock={rblock}"
+                )
+                y16 = np.asarray(
+                    spmv_pallas_2d(
+                        plan, x2d, interpret=True, inter_dtype=jnp.bfloat16
+                    )
+                ).reshape(-1)[:n]
+                assert (
+                    np.abs(y16 - y_ref).max()
+                    <= 2e-2 * max(np.abs(y_ref).max(), 1.0)
+                )
+
+    def test_v2_rblock_autocoarsens_at_low_occupancy(self, rng):
+        """A sparse wide graph (bucket occupancy < 4 at rblock 512)
+        auto-selects a coarser row block; a dense one keeps 512."""
+        from eig_kl_tpu.ops.spmv_pallas import build_plan_v2
+
+        n = 60_000  # 59 col-blocks x 118 row-blocks = 6962 buckets
+        nnz = 4000  # occupancy 0.57 -> coarsen
+        rows = np.sort(rng.integers(0, n, nnz).astype(np.int64))
+        cols = rng.integers(0, n, nnz).astype(np.int64)
+        w = rng.random(nnz).astype(np.float32)
+        sparse_plan = build_plan_v2(n, rows, cols, w)
+        assert sparse_plan.rblock > 512
+        n2, nnz2 = 3000, 24000
+        rows2 = np.sort(rng.integers(0, n2, nnz2).astype(np.int64))
+        cols2 = rng.integers(0, n2, nnz2).astype(np.int64)
+        dense_plan = build_plan_v2(
+            n2, rows2, cols2, rng.random(nnz2).astype(np.float32)
+        )
+        assert dense_plan.rblock == 512
+
     def test_v2_slot_grid_is_bf16_tile_aligned(self, rng):
         """The gather pass's per-column-block row count must be a whole
         number of (16,128) bf16 tiles (build_plan_v2's n_rbp rounding)."""

@@ -33,6 +33,16 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument(
         "--f64", action="store_true", help="run the KL engine in float64"
     )
+    p.add_argument(
+        "--passes",
+        type=int,
+        default=1,
+        help="KL passes: each pass after the first restarts from the "
+        "best partition with all nodes unlocked (classic multi-pass "
+        "KL; 1 = the reference's single-pass semantics, 0 = until "
+        "converged).  Converges in 3-7 passes and improves random-init "
+        "cuts dramatically (ibm01 mean 3365 -> 1742)",
+    )
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -178,7 +188,7 @@ def _run_kl(args, fused: bool) -> int:
     hg = read_hgr(args.input)
     print(f"Circuit: {hg.num_nets} nets, {hg.num_nodes} nodes, {hg.num_pins} pins")
     gain_eps = getattr(args, "gain_eps", 1e-6)
-    kl_config = KLConfig(gain_eps=gain_eps)
+    kl_config = KLConfig(gain_eps=gain_eps, passes=getattr(args, "passes", 1))
     if not fused and getattr(args, "starts", 1) > 1 and args.eig_init:
         print("Error: --starts uses random inits (drop -EIG)", file=sys.stderr)
         return 1
@@ -264,8 +274,15 @@ def _run_kl(args, fused: bool) -> int:
             g_host, sides, perm = reference_shuffle_init(g_host, args.seed)
         else:
             sides = random_split(hg.num_nodes, args.seed)
-        res = sharded_refine_oc(
-            g_host, sides, make_mesh(), config=kl_config, dtype=dtype
+        from eig_kl_tpu.kl.multipass import refine_multipass
+
+        mesh = make_mesh()
+        res = refine_multipass(
+            lambda s: sharded_refine_oc(
+                g_host, s, mesh, config=kl_config, dtype=dtype
+            ),
+            sides,
+            kl_config,
         )
         if perm is not None:
             import dataclasses

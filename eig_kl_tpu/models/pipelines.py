@@ -49,12 +49,15 @@ def _refine_dispatch(g_host, g_dev, sides, config: KLConfig, dtype) -> KLResult:
     if _use_mega(config, dtype):
         from eig_kl_tpu.kl.megakernel import MegaGraph, refine_mega
 
-        return refine_mega(
-            MegaGraph(g_host, plan=g_dev.plan, device_graph=g_dev),
-            sides,
-            config,
-        )
-    return refine(g_dev, sides, config)
+        mg = MegaGraph(g_host, plan=g_dev.plan, device_graph=g_dev)
+        backend = lambda s: refine_mega(mg, s, config)  # noqa: E731
+    else:
+        backend = lambda s: refine(g_dev, s, config)  # noqa: E731
+    from eig_kl_tpu.kl.multipass import refine_multipass, resolved_passes
+
+    if resolved_passes(config) <= 1:
+        return backend(sides)
+    return refine_multipass(backend, sides, config)
 
 
 @dataclasses.dataclass

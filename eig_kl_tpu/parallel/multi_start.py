@@ -87,35 +87,66 @@ def multi_start_refine(
         if config.max_iterations is None
         else min(config.max_iterations, natural_cap)
     )
-    out = _batched_kl(
-        g,
-        sides_batch,
-        max_iters=max_iters,
-        gain_eps=config.gain_eps,
-        terminate_limit=config.terminate_limit(n),
+    gref = g
+
+    def run_batch(batch: np.ndarray) -> list[KLResult]:
+        sb = jnp.asarray(batch, dtype=jnp.int8)
+        if mesh is not None:
+            sb = jax.device_put(sb, NamedSharding(mesh, P("dp", None)))
+        out = _batched_kl(
+            gref,
+            sb,
+            max_iters=max_iters,
+            gain_eps=config.gain_eps,
+            terminate_limit=config.terminate_limit(n),
+        )
+        return _materialize_batched(out, batch)
+
+    from eig_kl_tpu.kl.multipass import (
+        refine_multipass_batch,
+        resolved_passes,
     )
-    best_cuts = np.asarray(out.best_cut)
-    k = int(np.argmin(best_cuts))
-    iterations = int(out.iterations[k])
+
+    if resolved_passes(config) > 1:
+        results = refine_multipass_batch(run_batch, init_sides, config)
+    else:
+        results = run_batch(init_sides)
+    best_cuts = np.asarray([r.best_cut for r in results])
+    best = results[int(np.argmin(best_cuts))]
+    return best, best_cuts
+
+
+def _materialize_batched(out, init_sides: np.ndarray) -> list[KLResult]:
+    """Host KLResults for every start of a vmapped ``_kl_loop`` batch."""
     from eig_kl_tpu.kl.engine import best_iteration, replay_swaps
 
-    best = KLResult(
-        sides=np.asarray(out.s[k] < 0, dtype=np.int8),
-        best_sides=replay_swaps(
-            init_sides[k],
-            np.asarray(out.log_a[k]),
-            np.asarray(out.log_b[k]),
-            best_iteration(np.asarray(out.log_cut[k]), iterations),
-        ),
-        initial_cut=float(out.initial_cut[k]),
-        final_cut=float(out.cut[k]),
-        best_cut=float(out.best_cut[k]),
-        verified_cut=float(out.verified_cut[k]),
-        iterations=iterations,
-        cut_trajectory=np.asarray(out.log_cut[k])[: iterations + 1],
-        gain_trajectory=np.asarray(out.log_gain[k])[: iterations + 1],
-    )
-    return best, best_cuts
+    s = np.asarray(out.s)
+    log_a = np.asarray(out.log_a)
+    log_b = np.asarray(out.log_b)
+    log_cut = np.asarray(out.log_cut)
+    log_gain = np.asarray(out.log_gain)
+    results = []
+    for k in range(len(init_sides)):
+        iterations = int(out.iterations[k])
+        results.append(
+            KLResult(
+                sides=np.asarray(s[k] < 0, dtype=np.int8),
+                best_sides=replay_swaps(
+                    init_sides[k],
+                    log_a[k],
+                    log_b[k],
+                    best_iteration(log_cut[k], iterations),
+                ),
+                initial_cut=float(out.initial_cut[k]),
+                final_cut=float(out.cut[k]),
+                best_cut=float(out.best_cut[k]),
+                verified_cut=float(out.verified_cut[k]),
+                iterations=iterations,
+                cut_trajectory=log_cut[k][: iterations + 1],
+                gain_trajectory=log_gain[k][: iterations + 1],
+            )
+        )
+    return results
 
 
 # Auto-chunk ceiling for one batched launch, in node-starts
@@ -153,20 +184,29 @@ def multi_start_refine_mega(
     ``launch_chunk`` overrides the auto starts-per-launch split.
     """
     from eig_kl_tpu.kl.megakernel import MegaGraph, refine_mega_batch
+    from eig_kl_tpu.kl.multipass import (
+        refine_multipass_batch,
+        resolved_passes,
+    )
 
     plan = getattr(device_graph, "plan", None)
     mg = MegaGraph(graph, plan=plan, device_graph=device_graph)
     if launch_chunk is None:
         launch_chunk = max(8, _LAUNCH_NODE_STARTS // max(mg.padded_nodes, 1))
-    results = []
-    for s0 in range(0, num_starts, launch_chunk):
-        batch = np.stack(
-            [
-                random_split(graph.num_nodes, base_seed + i)
-                for i in range(s0, min(s0 + launch_chunk, num_starts))
-            ]
-        )
-        results += refine_mega_batch(mg, batch, config)
+
+    def run_batch(batch: np.ndarray) -> list[KLResult]:
+        out = []
+        for s0 in range(0, len(batch), launch_chunk):
+            out += refine_mega_batch(mg, batch[s0 : s0 + launch_chunk], config)
+        return out
+
+    init_batch = np.stack(
+        [random_split(graph.num_nodes, base_seed + i) for i in range(num_starts)]
+    )
+    if resolved_passes(config) > 1:
+        results = refine_multipass_batch(run_batch, init_batch, config)
+    else:
+        results = run_batch(init_batch)
     cuts = np.asarray([r.best_cut for r in results])
     best = results[int(np.argmin(cuts))]
     return best, cuts
@@ -237,6 +277,8 @@ def multi_start_refine_mega_sharded(
     Pn = mk._round_up(mg.padded_nodes, 1024)
     R = Pn // 128
     S = num_starts
+    # KL swaps preserve balance, so the per-start caps computed from
+    # the initial batch hold for every later multi-pass batch too.
     caps, naturals = [], []
     for k in range(S):
         n1 = int(sides_batch[k].astype(np.int64).sum())
@@ -253,12 +295,7 @@ def multi_start_refine_mega_sharded(
     terminate_limit = config.terminate_limit(n)
     gain_eps = config.gain_eps
 
-    sf_host = np.zeros((S, Pn), dtype=np.float32)
-    sf_host[:, :n] = 1.0 - 2.0 * sides_batch.astype(np.float32)
     shard3 = NamedSharding(mesh, P("dp", None, None))
-    sf_dev = jax.device_put(
-        jnp.asarray(sf_host.reshape(S, R, 128)), shard3
-    )
     caps_dev = jax.device_put(
         jnp.asarray(caps, jnp.int32), NamedSharding(mesh, P("dp"))
     )
@@ -301,34 +338,52 @@ def multi_start_refine_mega_sharded(
                    P("dp", None)),
         check_vma=False,
     )
-    sc, lc, lg, ver, bs, fs = jax.device_get(
-        sharded(
-            mg.meta_indices,
-            mg.meta_weights,
-            mg.spmv_plan,
-            wsum,
-            sf_dev,
-            caps_dev,
+
+    def run_batch(batch: np.ndarray) -> list[KLResult]:
+        sf_host = np.zeros((S, Pn), dtype=np.float32)
+        sf_host[:, :n] = 1.0 - 2.0 * batch.astype(np.float32)
+        sf_dev = jax.device_put(
+            jnp.asarray(sf_host.reshape(S, R, 128)), shard3
         )
-    )
-    results = []
-    for k in range(S):
-        col = sc[:, k]
-        iters = int(col[2])
-        lck = lc[k].reshape(-1)
-        results.append(
-            KLResult(
-                sides=fs[k],
-                best_sides=bs[k],
-                initial_cut=float(col[6]),
-                final_cut=float(col[0]),
-                best_cut=float(col[1]),
-                verified_cut=float(ver[k]),
-                iterations=iters,
-                cut_trajectory=lck[: iters + 1],
-                gain_trajectory=lg[k].reshape(-1)[: iters + 1],
+        sc, lc, lg, ver, bs, fs = jax.device_get(
+            sharded(
+                mg.meta_indices,
+                mg.meta_weights,
+                mg.spmv_plan,
+                wsum,
+                sf_dev,
+                caps_dev,
             )
         )
+        results = []
+        for k in range(S):
+            col = sc[:, k]
+            iters = int(col[2])
+            lck = lc[k].reshape(-1)
+            results.append(
+                KLResult(
+                    sides=fs[k],
+                    best_sides=bs[k],
+                    initial_cut=float(col[6]),
+                    final_cut=float(col[0]),
+                    best_cut=float(col[1]),
+                    verified_cut=float(ver[k]),
+                    iterations=iters,
+                    cut_trajectory=lck[: iters + 1],
+                    gain_trajectory=lg[k].reshape(-1)[: iters + 1],
+                )
+            )
+        return results
+
+    from eig_kl_tpu.kl.multipass import (
+        refine_multipass_batch,
+        resolved_passes,
+    )
+
+    if resolved_passes(config) > 1:
+        results = refine_multipass_batch(run_batch, sides_batch, config)
+    else:
+        results = run_batch(sides_batch)
     cuts = np.asarray([r.best_cut for r in results])
     best = results[int(np.argmin(cuts))]
     return best, cuts

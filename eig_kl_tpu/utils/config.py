@@ -37,6 +37,15 @@ class KLConfig:
       use_pallas: engine selection for :func:`models.pipelines` --
         True = single-kernel Pallas engine (megakernel), False = XLA
         while_loop engine, None = auto (Pallas on TPU).
+      passes: number of KL passes.  Each pass after the first restarts
+        from the best partition seen so far with every node unlocked
+        (classic multi-pass KL).  The reference runs exactly ONE pass
+        and only *tracks* the minimum cut without rolling back to it
+        (cKL.cpp:363, gKL.cu:484); 1 therefore matches reference
+        semantics.  0 = keep running passes until one fails to improve
+        the best cut (capped at :data:`eig_kl_tpu.kl.multipass.AUTO_PASS_CAP`).
+        Passes converge in ~3-7 on the reference circuits and improve
+        random-init cuts dramatically (ibm01 mean 3365 -> 1742).
     """
 
     gain_eps: float = 0.0
@@ -44,6 +53,7 @@ class KLConfig:
     max_iterations: int | None = None
     refresh_interval: int = 0
     use_pallas: bool | None = None
+    passes: int = 1
 
     def terminate_limit(self, num_nodes: int) -> int:
         return int(math.log2(max(num_nodes, 2))) + self.terminate_extra

@@ -50,13 +50,15 @@ def run_ours(
     seed_start: int = 0,
     include_eig: bool = True,
     ensemble: str = "index",
+    passes: int = 1,
 ) -> None:
     """ensemble="index": tie-break by node index (our engines' native
     order, one graph upload per circuit).  ensemble="shuffle": relabel
     the graph by the per-seed shuffle permutation
     (kl.init.reference_shuffle_init) so equal-gain ties break in the
     reference's randomized order; rows are tagged init
-    "random-shuffled"."""
+    "random-shuffled".  passes != 1 runs multi-pass KL
+    (kl.multipass; 0 = until converged) and tags rows "<init>-mp"."""
     sys.path.insert(0, REPO)
     import jax
     import jax.numpy as jnp
@@ -71,12 +73,16 @@ def run_ours(
     )
     from eig_kl_tpu.utils.config import KLConfig
 
+    from eig_kl_tpu.kl.multipass import refine_multipass, resolved_passes
+
     out = os.path.join(RESULTS, "ours_runs.jsonl")
     platform = jax.default_backend()
     on_tpu = platform == "tpu"
     # gain_eps=0.0 matches cKL's "gain <= 0" terminate count
     # (cKL.cpp:382); the GPU flavors use 1e-6 (gKL.cu:26).
-    config = KLConfig(gain_eps=0.0)
+    config = KLConfig(gain_eps=0.0, passes=passes)
+    multipass = resolved_passes(config) > 1
+    mp_tag = "-mp" if multipass else ""
     for name in circuits:
         hg = read_hgr(os.path.join(REF_CIRCUIT_DIR, f"{name}.hgr"))
         eig_path = os.path.join(REF_EIG_DIR, f"{name}.hgr_out.txt")
@@ -102,13 +108,18 @@ def run_ours(
         for mode, seed in runs:
             if mode == "eig":
                 sides = split_from_eig(eig_path)
-                run = do_refine
+                single = do_refine
             elif ensemble == "index":
                 sides = random_split(hg.num_nodes, seed)
-                run = do_refine
+                single = do_refine
             else:
                 gr, sides, _perm = reference_shuffle_init(g_host, seed)
-                run = make_refine(gr)  # per-seed relabel + upload
+                single = make_refine(gr)  # per-seed relabel + upload
+            if multipass:
+                run = lambda s, fn=single: refine_multipass(fn, s, config)
+            else:
+                run = single
+            mode = mode + mp_tag
             if not warm:  # pay the per-shape compile outside the timing
                 run(sides)
                 warm = True
@@ -235,15 +246,18 @@ def report() -> str:
         "|---|---|---|---|---|---|",
     ]
     for name in CIRCUITS:
-        for mode in ["eig", "random", "random-shuffled"]:
-            # shuffled-ensemble ours rows compare against the same
-            # reference random rows (the reference ensemble IS shuffled)
-            ref_mode = "random" if mode == "random-shuffled" else mode
+        for mode in ["eig", "eig-mp", "random", "random-mp", "random-shuffled"]:
+            # shuffled-ensemble and multi-pass ours rows compare against
+            # the same reference single-pass rows (the reference ensemble
+            # IS shuffled; it has no multi-pass mode at all)
+            ref_mode = mode.removesuffix("-mp")
+            if ref_mode == "random-shuffled":
+                ref_mode = "random"
             r = agg(
                 [x for x in ref if x["circuit"] == name and x["init"] == ref_mode]
             )
             o = agg([x for x in ours if x["circuit"] == name and x["init"] == mode])
-            if o is None and mode == "random-shuffled":
+            if o is None and mode != "eig" and mode != "random":
                 continue
             if r is None and o is None:
                 continue
@@ -304,6 +318,12 @@ def main() -> int:
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--rep-offset", type=int, default=0)
     ap.add_argument("--ensemble", choices=["index", "shuffle"], default="index")
+    ap.add_argument(
+        "--passes",
+        type=int,
+        default=1,
+        help="multi-pass KL (0 = until converged); rows tagged <init>-mp",
+    )
     args = ap.parse_args()
     if args.cmd == "ours":
         run_ours(
@@ -312,6 +332,7 @@ def main() -> int:
             seed_start=args.seed_start,
             include_eig=not args.no_eig,
             ensemble=args.ensemble,
+            passes=args.passes,
         )
     elif args.cmd == "bestofk":
         run_bestofk(

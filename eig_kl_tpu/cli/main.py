@@ -41,7 +41,7 @@ def _add_common(p: argparse.ArgumentParser) -> None:
         "best partition with all nodes unlocked (classic multi-pass "
         "KL; 1 = the reference's single-pass semantics, 0 = until "
         "converged).  Converges in 3-7 passes and improves random-init "
-        "cuts dramatically (ibm01 mean 3365 -> 1742)",
+        "cuts dramatically (ibm01 N=30 mean 3332 -> 1646)",
     )
 
 

@@ -8,10 +8,12 @@ refine again until a pass stops improving.  Each pass is monotonically
 non-increasing in best cut (pass p+1 starts AT pass p's best), and on
 the reference's own circuits convergence takes 3-7 passes.
 
-Measured impact (random init, N=10 seeds, same protocol as
-benchmarks/parity_ckl.py): ibm01 mean best cut 3365 (single pass)
--> 1742 (multi-pass) vs the reference binary's single-pass 3225;
-fract 41.9 -> 25.7 vs 40.0.
+Measured impact (random init, N=30 seeds, benchmarks/parity_ckl.py
+``--passes 0``): ibm01 mean best cut 3332 (single pass) -> 1646 vs
+the reference binary's 3225 (its best-ever run: 2383); industry2
+3773 -> 1968 vs 3693; ibm10 20580 -> 11596 vs 20577; fract 40.6 ->
+25.7 vs 40.0.  Every multi-pass mean beats the reference's best-ever
+single run.
 
 ``KLConfig.passes`` selects the behavior: 1 (default) = reference
 semantics, N > 1 = at most N passes, 0 = until converged (capped at

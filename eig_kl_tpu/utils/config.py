@@ -45,7 +45,7 @@ class KLConfig:
         semantics.  0 = keep running passes until one fails to improve
         the best cut (capped at :data:`eig_kl_tpu.kl.multipass.AUTO_PASS_CAP`).
         Passes converge in ~3-7 on the reference circuits and improve
-        random-init cuts dramatically (ibm01 mean 3365 -> 1742).
+        random-init cuts dramatically (ibm01 N=30 mean 3332 -> 1646).
     """
 
     gain_eps: float = 0.0

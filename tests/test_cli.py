@@ -57,6 +57,32 @@ class TestCli:
         assert _main(["kl", "c.hgr", "--sharded", "--shuffled-ties"]) == 0
         assert "Verified cut size" in capsys.readouterr().out
 
+    def test_kl_passes(self, workdir, capsys):
+        import re
+
+        _main(["generate", "0.001", "-o", "c.hgr", "--seed", "1"])
+        assert _main(["kl", "c.hgr", "--seed", "2"]) == 0
+        single = float(
+            re.search(r"Best cut size achieved\s*:\s*([\d.]+)",
+                      capsys.readouterr().out).group(1)
+        )
+        assert _main(["kl", "c.hgr", "--seed", "2", "--passes", "0"]) == 0
+        multi = float(
+            re.search(r"Best cut size achieved\s*:\s*([\d.]+)",
+                      capsys.readouterr().out).group(1)
+        )
+        assert multi <= single + 1e-6
+
+    def test_kl_passes_multi_start(self, workdir, capsys):
+        _main(["generate", "0.001", "-o", "c.hgr", "--seed", "1"])
+        assert _main(["kl", "c.hgr", "--starts", "4", "--passes", "2"]) == 0
+        assert "Multi-start best cuts" in capsys.readouterr().out
+
+    def test_kl_passes_sharded(self, workdir, capsys):
+        _main(["generate", "0.001", "-o", "c.hgr", "--seed", "1"])
+        assert _main(["kl", "c.hgr", "--sharded", "--passes", "2"]) == 0
+        assert "Verified cut size" in capsys.readouterr().out
+
     def test_fused_power_iters(self, workdir, capsys):
         _main(["generate", "0.001", "-o", "c.hgr", "--seed", "1"])
         assert _main(["fused", "c.hgr", "-EIG", "--power-iters", "60"]) == 0

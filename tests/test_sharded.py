@@ -224,6 +224,33 @@ def test_multi_start_mega_sharded_matches_batched(problem):
     assert abs(best_s.verified_cut - best_s.final_cut) < 1e-3
 
 
+def test_multi_start_mega_sharded_multipass(problem):
+    """Multi-pass through the dp-sharded batched launch: per-start cuts
+    match the single-chip batched multi-pass engine and never regress
+    vs single-pass."""
+    from eig_kl_tpu.parallel.multi_start import (
+        multi_start_refine_mega,
+        multi_start_refine_mega_sharded,
+    )
+    from eig_kl_tpu.utils.config import KLConfig
+
+    g_host, _sides = problem
+    mesh = make_mesh(8, dp=8)
+    cfg = KLConfig(passes=3)
+    best_s, cuts_s = multi_start_refine_mega_sharded(
+        g_host, 8, mesh=mesh, base_seed=5, config=cfg
+    )
+    best_b, cuts_b = multi_start_refine_mega(
+        g_host, 8, base_seed=5, config=cfg
+    )
+    np.testing.assert_allclose(cuts_s, cuts_b, rtol=1e-5)
+    np.testing.assert_array_equal(best_s.best_sides, best_b.best_sides)
+    _best_1, cuts_1 = multi_start_refine_mega_sharded(
+        g_host, 8, mesh=mesh, base_seed=5
+    )
+    assert (cuts_s <= cuts_1 + 1e-6).all()
+
+
 class TestShardedPower:
     def test_matches_single_chip_power(self, rng):
         """The mp-sharded power iteration reproduces the single-chip

@@ -83,8 +83,16 @@ def build_parser() -> argparse.ArgumentParser:
         "--starts",
         type=int,
         default=1,
-        help="multi-start: run N independent random-init refinements "
-        "data-parallel across devices, keep the best",
+        help="multi-start: run N refinements data-parallel across "
+        "devices, keep the best.  Random inits, or with -EIG, "
+        "perturbed spectral inits (start 0 unperturbed)",
+    )
+    p_kl.add_argument(
+        "--perturb",
+        type=float,
+        default=0.05,
+        help="with -EIG --starts: fraction of nodes pair-swapped to "
+        "jitter each start's spectral init",
     )
     p_kl.add_argument(
         "--sharded",
@@ -108,6 +116,21 @@ def build_parser() -> argparse.ArgumentParser:
         "fused", help="in-process power-iteration EIG + KL (gKL2 pipeline)"
     )
     _add_common(p_fused)
+    p_fused.add_argument(
+        "--starts",
+        type=int,
+        default=1,
+        help="spectral-seeded multi-start: one spectral solve, N "
+        "perturbed-init refinements in one batched launch, best kept "
+        "(random inits without -EIG)",
+    )
+    p_fused.add_argument(
+        "--perturb",
+        type=float,
+        default=0.05,
+        help="with -EIG --starts: fraction of nodes pair-swapped to "
+        "jitter each start's spectral init",
+    )
     p_fused.add_argument(
         "--power-iters",
         type=int,
@@ -189,9 +212,6 @@ def _run_kl(args, fused: bool) -> int:
     print(f"Circuit: {hg.num_nets} nets, {hg.num_nodes} nodes, {hg.num_pins} pins")
     gain_eps = getattr(args, "gain_eps", 1e-6)
     kl_config = KLConfig(gain_eps=gain_eps, passes=getattr(args, "passes", 1))
-    if not fused and getattr(args, "starts", 1) > 1 and args.eig_init:
-        print("Error: --starts uses random inits (drop -EIG)", file=sys.stderr)
-        return 1
     profile_ctx = maybe_profile()
     profile_ctx.__enter__()
     if fused:
@@ -205,6 +225,8 @@ def _run_kl(args, fused: bool) -> int:
             kl_config=kl_config,
             seed=args.seed,
             dtype=dtype,
+            starts=getattr(args, "starts", 1),
+            perturb=getattr(args, "perturb", 0.05),
         )
     elif getattr(args, "starts", 1) > 1:
         from eig_kl_tpu.graph.expand import clique_expand
@@ -217,6 +239,20 @@ def _run_kl(args, fused: bool) -> int:
         g_host = clique_expand(hg, "kl")
         g = g_host.to_device(dtype=dtype, with_plan=on_tpu)
         n_dev = len(jax.devices())
+        init_sides = None
+        if args.eig_init:
+            # Spectral-seeded multi-start: start 0 is the -EIG init,
+            # the rest are balanced jitters of it (kl.init.perturb_split).
+            from eig_kl_tpu.kl.init import perturb_split, split_from_eig
+
+            base_sides = split_from_eig(eig_out_path(args.input))
+            init_sides = np.stack(
+                [base_sides]
+                + [
+                    perturb_split(base_sides, args.seed + 1 + i, args.perturb)
+                    for i in range(args.starts - 1)
+                ]
+            )
         if on_tpu and jnp.dtype(dtype) == jnp.float32:
             if n_dev > 1 and args.starts % n_dev == 0:
                 # Pod path: start axis dp-sharded, one batched Pallas
@@ -232,6 +268,7 @@ def _run_kl(args, fused: bool) -> int:
                     config=kl_config,
                     base_seed=args.seed,
                     device_graph=g,
+                    init_sides=init_sides,
                 )
             else:
                 from eig_kl_tpu.parallel.multi_start import (
@@ -244,12 +281,18 @@ def _run_kl(args, fused: bool) -> int:
                     config=kl_config,
                     base_seed=args.seed,
                     device_graph=g,
+                    init_sides=init_sides,
                 )
         else:
             dp = n_dev
             mesh = make_mesh(dp=dp) if args.starts % dp == 0 and dp > 1 else None
             best, cuts = multi_start_refine(
-                g, args.starts, config=kl_config, mesh=mesh, base_seed=args.seed
+                g,
+                args.starts,
+                config=kl_config,
+                mesh=mesh,
+                base_seed=args.seed,
+                init_sides=init_sides,
             )
         print(f"Multi-start best cuts: {np.sort(cuts)[:8].round(2).tolist()} ...")
         run = PartitionRun(

@@ -161,6 +161,8 @@ def fused_partition(
     kl_config: KLConfig = KLConfig(gain_eps=1e-6),
     seed: int = 0,
     dtype=jnp.float32,
+    starts: int = 1,
+    perturb: float = 0.05,
 ) -> PartitionRun:
     """Fused spectral + KL pipeline (the gKL2 executable).
 
@@ -168,6 +170,13 @@ def fused_partition(
     iteration (gKL2 builds its Laplacian from the same adjacency,
     gKL2.cu:262-303) and the refinement engine.  ``use_eig=False``
     mirrors running gKL2 without ``-EIG`` (random init).
+
+    ``starts > 1`` runs *spectral-seeded multi-start*: the spectral
+    solve runs ONCE, start 0 refines the unperturbed median split, and
+    each further start jitters it with :func:`kl.init.perturb_split`
+    (``perturb`` = fraction of nodes pair-swapped) before refinement —
+    all starts in one batched launch, best kept.  With random init
+    (``use_eig=False``) the starts are independent random splits.
     """
     tracer = Tracer()
     with tracer.span("graph.build"):
@@ -184,11 +193,59 @@ def fused_partition(
         else:
             sides = random_split(hg.num_nodes, seed)
     with tracer.span("kl.refine"):
-        result = _refine_dispatch(g_host, g, sides, kl_config, dtype)
+        if starts > 1:
+            result, _cuts = _multi_start_dispatch(
+                g_host, g, sides, kl_config, dtype,
+                starts=starts, perturb=perturb, seed=seed,
+                perturb_base=use_eig,
+            )
+        else:
+            result = _refine_dispatch(g_host, g, sides, kl_config, dtype)
     return PartitionRun(
         circuit=hg.name,
         eig=eig,
         kl=result,
         timings=dict(tracer.spans),
         nnz=g_host.nnz,
+    )
+
+
+def _multi_start_dispatch(
+    g_host, g_dev, sides, config: KLConfig, dtype, *,
+    starts: int, perturb: float, seed: int, perturb_base: bool,
+):
+    """Batched multi-start on the auto-selected engine.
+
+    ``perturb_base=True``: start 0 is ``sides`` unperturbed, starts
+    1..S-1 are balanced jitters of it (spectral-seeded multi-start).
+    ``perturb_base=False``: independent random splits from ``seed``.
+    """
+    from eig_kl_tpu.kl.init import perturb_split
+    from eig_kl_tpu.parallel.multi_start import (
+        multi_start_refine,
+        multi_start_refine_mega,
+    )
+
+    if perturb_base:
+        base = np.asarray(sides, dtype=np.int8)
+        init_sides = np.stack(
+            [base]
+            + [
+                perturb_split(base, seed + 1 + i, perturb)
+                for i in range(starts - 1)
+            ]
+        )
+    else:
+        init_sides = None
+    if _use_mega(config, dtype):
+        return multi_start_refine_mega(
+            g_host,
+            starts,
+            config=config,
+            base_seed=seed,
+            device_graph=g_dev,
+            init_sides=init_sides,
+        )
+    return multi_start_refine(
+        g_dev, starts, config=config, base_seed=seed, init_sides=init_sides
     )

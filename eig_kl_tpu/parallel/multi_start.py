@@ -168,6 +168,7 @@ def multi_start_refine_mega(
     base_seed: int = 0,
     device_graph=None,
     launch_chunk: int | None = None,
+    init_sides: np.ndarray | None = None,
 ) -> tuple[KLResult, np.ndarray]:
     """Multi-start refinement through the single-kernel Pallas engine.
 
@@ -181,7 +182,9 @@ def multi_start_refine_mega(
     watchdog (see ``_LAUNCH_NODE_STARTS``).
 
     Args mirror :func:`multi_start_refine` but take the host graph;
-    ``launch_chunk`` overrides the auto starts-per-launch split.
+    ``launch_chunk`` overrides the auto starts-per-launch split;
+    ``init_sides`` (num_starts, n) overrides the seeded random splits
+    (e.g. perturbed spectral inits, :func:`eig_kl_tpu.kl.init.perturb_split`).
     """
     from eig_kl_tpu.kl.megakernel import MegaGraph, refine_mega_batch
     from eig_kl_tpu.kl.multipass import (
@@ -200,9 +203,15 @@ def multi_start_refine_mega(
             out += refine_mega_batch(mg, batch[s0 : s0 + launch_chunk], config)
         return out
 
-    init_batch = np.stack(
-        [random_split(graph.num_nodes, base_seed + i) for i in range(num_starts)]
-    )
+    if init_sides is None:
+        init_batch = np.stack(
+            [
+                random_split(graph.num_nodes, base_seed + i)
+                for i in range(num_starts)
+            ]
+        )
+    else:
+        init_batch = np.asarray(init_sides, dtype=np.int8)
     if resolved_passes(config) > 1:
         results = refine_multipass_batch(run_batch, init_batch, config)
     else:
@@ -221,6 +230,7 @@ def multi_start_refine_mega_sharded(
     base_seed: int = 0,
     device_graph=None,
     interpret: bool | None = None,
+    init_sides: np.ndarray | None = None,
 ) -> tuple[KLResult, np.ndarray]:
     """Pod-scale multi-start: the start axis sharded over the mesh's
     "dp" axis, each chip running its local starts through the batched
@@ -264,6 +274,7 @@ def multi_start_refine_mega_sharded(
             config=config,
             base_seed=base_seed,
             device_graph=device_graph,
+            init_sides=init_sides,
         )
     n = graph.num_nodes
     mg = mk.MegaGraph(
@@ -271,9 +282,12 @@ def multi_start_refine_mega_sharded(
         plan=getattr(device_graph, "plan", None),
         device_graph=device_graph,
     )
-    sides_batch = np.stack(
-        [random_split(n, base_seed + i) for i in range(num_starts)]
-    )
+    if init_sides is None:
+        sides_batch = np.stack(
+            [random_split(n, base_seed + i) for i in range(num_starts)]
+        )
+    else:
+        sides_batch = np.asarray(init_sides, dtype=np.int8)
     Pn = mk._round_up(mg.padded_nodes, 1024)
     R = Pn // 128
     S = num_starts

@@ -36,9 +36,32 @@ class TestCli:
         # best-of-4 must be at least as good as the seed-0 single start
         _main(["kl", "c.hgr"])
 
-    def test_kl_multi_start_rejects_eig(self, workdir, capsys):
+    def test_kl_multi_start_eig_perturbed(self, workdir, capsys):
+        """-EIG + --starts runs spectral-seeded multi-start (start 0
+        unperturbed, so best-of-N can only improve on the single -EIG
+        run)."""
+        import re
+
         _main(["generate", "0.001", "-o", "c.hgr", "--seed", "1"])
-        assert _main(["kl", "c.hgr", "-EIG", "--starts", "4"]) == 1
+        assert _main(["eig", "c.hgr"]) == 0
+        assert _main(["kl", "c.hgr", "-EIG"]) == 0
+        single = float(
+            re.search(r"Best cut size achieved\s*:\s*([\d.]+)",
+                      capsys.readouterr().out).group(1)
+        )
+        assert _main(["kl", "c.hgr", "-EIG", "--starts", "4"]) == 0
+        out = capsys.readouterr().out
+        assert "Multi-start best cuts" in out
+        multi = float(
+            re.search(r"Best cut size achieved\s*:\s*([\d.]+)", out).group(1)
+        )
+        assert multi <= single + 1e-6
+
+    def test_fused_multi_start(self, workdir, capsys):
+        _main(["generate", "0.001", "-o", "c.hgr", "--seed", "1"])
+        assert _main(["fused", "c.hgr", "-EIG", "--starts", "4",
+                      "--passes", "2"]) == 0
+        assert "Verified cut size" in capsys.readouterr().out
 
     def test_kl_sharded(self, workdir, capsys):
         _main(["generate", "0.001", "-o", "c.hgr", "--seed", "1"])

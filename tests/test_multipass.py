@@ -178,6 +178,40 @@ def test_multi_start_passes(problem):
     )
 
 
+def test_perturb_split():
+    from eig_kl_tpu.kl.init import perturb_split
+
+    sides = random_split(101, seed=0)
+    for frac in (0.0, 0.05, 0.5):
+        p = perturb_split(sides, seed=3, frac=frac)
+        assert sides_balance(p) == sides_balance(sides)
+        if frac > 0:
+            assert (p != sides).sum() >= 2  # at least one pair moved
+    # deterministic per seed, different across seeds
+    np.testing.assert_array_equal(
+        perturb_split(sides, 7, 0.1), perturb_split(sides, 7, 0.1)
+    )
+    assert (perturb_split(sides, 7, 0.1) != perturb_split(sides, 8, 0.1)).any()
+    with pytest.raises(ValueError):
+        perturb_split(sides, 0, frac=1.5)
+
+
+def test_fused_spectral_seeded_multi_start(problem):
+    """fused_partition(starts=N) keeps start 0 unperturbed, so its
+    best cut never regresses vs the single-start run."""
+    from eig_kl_tpu.models.pipelines import fused_partition
+    from eig_kl_tpu.utils.config import SpectralConfig
+
+    rng = np.random.default_rng(7)
+    hg = random_hypergraph(rng, num_nodes=80, num_nets=160)
+    spec = SpectralConfig(solver="power", max_iterations=150)
+    r1 = fused_partition(hg, spectral_config=spec, kl_config=KLConfig(passes=2))
+    rm = fused_partition(
+        hg, spectral_config=spec, kl_config=KLConfig(passes=2), starts=4
+    )
+    assert rm.kl.best_cut <= r1.kl.best_cut + 1e-6
+
+
 def test_pipeline_passes_flag(problem):
     """kl_partition honors KLConfig.passes end to end."""
     from eig_kl_tpu.io.hgr import Hypergraph  # noqa: F401  (type only)

@@ -39,6 +39,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -815,7 +816,14 @@ def _reduce_kernel_mxu(
             # One (H, 128) dynamic update, not H row updates: at the
             # coarse row-blocks (H = 16/32) the per-row form is 8*H
             # dynamic slices per body -- slow to run AND to compile.
-            y_ref[pl.ds(rb * H, H), :] += part
+            # EIG_KL_TPU_REDUCE_ROWWISE=1 restores the per-row form
+            # (escape hatch if a Mosaic version rejects multi-row
+            # dynamic updates at non-8-aligned sublane offsets).
+            if os.environ.get("EIG_KL_TPU_REDUCE_ROWWISE") == "1":
+                for h in range(H):
+                    y_ref[pl.ds(rb * H + h, 1), :] += part[h : h + 1, :]
+            else:
+                y_ref[pl.ds(rb * H, H), :] += part
         return 0
 
     lax.fori_loop(0, GB2, body, 0)

@@ -84,6 +84,22 @@ class TestSpmvOnChip:
         y = np.asarray(spmv_pallas(plan, jnp.asarray(x), interpret=False))
         np.testing.assert_allclose(y, y_ref, rtol=1e-4, atol=1e-4)
 
+    def test_v2_plan_coarse_rblock(self, random_coo):
+        """Coarse row-blocks (the auto-coarsen path large sparse graphs
+        take) through the REAL Mosaic lowering: exercises the H = 16
+        one-hot groups and the (H, 128) single dynamic y-update."""
+        from eig_kl_tpu.ops.spmv_pallas import build_plan_v2, spmv_pallas_2d
+
+        n, rows, cols, w, x, y_ref = random_coo
+        plan = build_plan_v2(n, rows, cols, w, rblock=2048)
+        assert plan.rblock == 2048
+        P = plan.padded_nodes
+        x2d = jnp.zeros(P, jnp.float32).at[:n].set(x).reshape(P // 128, 128)
+        y = np.asarray(
+            spmv_pallas_2d(plan, x2d, interpret=False)
+        ).reshape(-1)[:n]
+        np.testing.assert_allclose(y, y_ref, rtol=1e-4, atol=1e-4)
+
 
 class TestMegaKernelOnChip:
     def test_trajectory_parity_vs_xla_engine(self, fract_graph):
@@ -174,3 +190,35 @@ class TestMegaBatchOnChip:
             r1 = refine_mega(mg, batch[s], cfg, interpret=False)
             assert rb[s].iterations == r1.iterations
             assert rb[s].best_cut == pytest.approx(r1.best_cut, rel=1e-4)
+
+    def test_multipass_seeded_multistart_on_chip(self, fract_graph):
+        """The flagship quality flow's pieces on real hardware:
+        multi-pass through the batched mega-kernel with perturbed
+        spectral-seeded inits (start 0 unperturbed), monotone vs the
+        single-pass single-start run and oracle-consistent."""
+        from eig_kl_tpu.kl.init import perturb_split, split_from_eig
+        from eig_kl_tpu.kl.megakernel import MegaGraph, refine_mega
+        from eig_kl_tpu.ops.partition import cut_size
+        from eig_kl_tpu.parallel.multi_start import multi_start_refine_mega
+        from eig_kl_tpu.utils.config import KLConfig
+        from tests.conftest import golden_eig_path
+
+        hg, g_host, g = fract_graph
+        mg = MegaGraph(g_host, plan=g.plan, device_graph=g)
+        base = split_from_eig(golden_eig_path("fract"))
+        single = refine_mega(mg, base, KLConfig(gain_eps=1e-6), interpret=False)
+        init_sides = np.stack(
+            [base] + [perturb_split(base, 1 + i, 0.05) for i in range(3)]
+        )
+        best, cuts = multi_start_refine_mega(
+            g_host,
+            4,
+            config=KLConfig(gain_eps=1e-6, passes=0),
+            device_graph=g,
+            init_sides=init_sides,
+        )
+        assert best.best_cut <= single.best_cut + 1e-4
+        oracle = float(
+            cut_size(g, jnp.asarray(1.0 - 2.0 * best.best_sides, jnp.float32))
+        )
+        assert oracle == pytest.approx(best.best_cut, rel=1e-4)

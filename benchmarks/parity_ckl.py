@@ -264,7 +264,14 @@ def report() -> str:
         "|---|---|---|---|---|---|",
     ]
     for name in CIRCUITS:
-        for mode in ["eig", "eig-mp", "random", "random-mp", "random-shuffled"]:
+        for mode in [
+            "eig",
+            "eig-mp",
+            "random",
+            "random-mp",
+            "random-shuffled",
+            "random-shuffled-mp",
+        ]:
             # shuffled-ensemble and multi-pass ours rows compare against
             # the same reference single-pass rows (the reference ensemble
             # IS shuffled; it has no multi-pass mode at all)

@@ -108,11 +108,9 @@ def perturb_split(
     )
     side0 = np.flatnonzero(sides == 0)
     side1 = np.flatnonzero(sides == 1)
-    k = min(
-        max(1, int(np.ceil(frac * len(sides) / 2))),
-        len(side0),
-        len(side1),
-    )
+    k = min(int(np.ceil(frac * len(sides) / 2)), len(side0), len(side1))
+    if k == 0:  # frac == 0 disables the jitter entirely
+        return sides.copy()
     out = sides.copy()
     out[rng.choice(side0, size=k, replace=False)] = 1
     out[rng.choice(side1, size=k, replace=False)] = 0

@@ -58,6 +58,16 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _reduce_rowwise() -> bool:
+    """Escape hatch: EIG_KL_TPU_REDUCE_ROWWISE=1 switches the MXU
+    reduce's y-update from one (H, 128) dynamic update to H per-row
+    updates (in case a Mosaic version rejects multi-row dynamic updates
+    at non-8-aligned sublane offsets).  Read per call and threaded as a
+    static jit argument, so toggling it mid-process recompiles instead
+    of silently hitting stale cached kernels."""
+    return os.environ.get("EIG_KL_TPU_REDUCE_ROWWISE") == "1"
+
+
 def _ensure_row_sorted(rows, cols, weights):
     """The native planners rely on CSR (row-major) entry order for
     their stable counting sort; sort first for arbitrary COO input."""
@@ -369,6 +379,7 @@ def spmv_pallas_2d(
             interpret=interpret,
             inter_dtype=inter_dtype,
             rblock=plan.rblock,
+            reduce_rowwise=_reduce_rowwise(),
         )
         if plan.tail is not None:
             y = y + _spmv_call(plan.tail, x2d, interpret=interpret)
@@ -415,6 +426,7 @@ def spmv_pallas(
             g2=plan.g2,
             interpret=interpret,
             rblock=plan.rblock,
+            reduce_rowwise=_reduce_rowwise(),
         )
         if plan.tail is not None:
             y = y + _spmv_call(plan.tail, x2d, interpret=interpret)
@@ -755,7 +767,8 @@ def _reduce_kernel(rb_ref, e_ref, rl_ref, y_ref, *, ry: int, rblock: int = RBLOC
 
 
 def _reduce_kernel_mxu(
-    rb_ref, e_ref, rl_ref, y_ref, *, ry: int, rblock: int = RBLOCK
+    rb_ref, e_ref, rl_ref, y_ref, *, ry: int, rblock: int = RBLOCK,
+    rowwise: bool = False,
 ):
     """MXU form of the one-hot reduce: per 512-slot sub-chunk, split
     the row-local into (128-group h, lane) once, then contract
@@ -816,10 +829,10 @@ def _reduce_kernel_mxu(
             # One (H, 128) dynamic update, not H row updates: at the
             # coarse row-blocks (H = 16/32) the per-row form is 8*H
             # dynamic slices per body -- slow to run AND to compile.
-            # EIG_KL_TPU_REDUCE_ROWWISE=1 restores the per-row form
-            # (escape hatch if a Mosaic version rejects multi-row
-            # dynamic updates at non-8-aligned sublane offsets).
-            if os.environ.get("EIG_KL_TPU_REDUCE_ROWWISE") == "1":
+            # rowwise=True restores the per-row form (escape hatch if
+            # a Mosaic version rejects multi-row dynamic updates at
+            # non-8-aligned sublane offsets).
+            if rowwise:
                 for h in range(H):
                     y_ref[pl.ds(rb * H + h, 1), :] += part[h : h + 1, :]
             else:
@@ -841,6 +854,7 @@ def _reduce_kernel_mxu(
         "inter_dtype",
         "reduce_impl",
         "rblock",
+        "reduce_rowwise",
     ),
 )
 def _spmv_v2_call(
@@ -859,6 +873,7 @@ def _spmv_v2_call(
     inter_dtype=jnp.float32,
     reduce_impl: str = "mxu",
     rblock: int = RBLOCK,
+    reduce_rowwise: bool = False,
 ):
     C1 = col_local.shape[0]
     C2g = rl_t.shape[0]
@@ -906,7 +921,10 @@ def _spmv_v2_call(
         et.reshape(C2, CHUNK), ((0, C2g * 8 - C2), (0, 0))
     ).reshape(C2g, 8, CHUNK)
 
-    red = _reduce_kernel_mxu if reduce_impl == "mxu" else _reduce_kernel
+    if reduce_impl == "mxu":
+        red = functools.partial(_reduce_kernel_mxu, rowwise=reduce_rowwise)
+    else:
+        red = _reduce_kernel
     y = pl.pallas_call(
         functools.partial(red, ry=ry, rblock=rblock),
         out_shape=jax.ShapeDtypeStruct((ry, 128), jnp.float32),

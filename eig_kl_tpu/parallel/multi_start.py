@@ -73,11 +73,11 @@ def multi_start_refine(
         init_sides = np.stack(
             [random_split(n, base_seed + i) for i in range(num_starts)]
         )
-    sides_batch = jnp.asarray(init_sides, dtype=jnp.int8)
-    if mesh is not None:
-        sides_batch = jax.device_put(
-            sides_batch, NamedSharding(mesh, P("dp", None))
+    elif len(init_sides) != num_starts:
+        raise ValueError(
+            f"init_sides has {len(init_sides)} starts, expected {num_starts}"
         )
+    if mesh is not None:
         g = jax.device_put(g, NamedSharding(mesh, P()))
 
     n1 = int(np.asarray(init_sides[0], dtype=np.int64).sum())
@@ -89,18 +89,17 @@ def multi_start_refine(
     )
     gref = g
 
-    def run_batch(batch: np.ndarray) -> list[KLResult]:
+    def run_raw(batch: np.ndarray):
         sb = jnp.asarray(batch, dtype=jnp.int8)
         if mesh is not None:
             sb = jax.device_put(sb, NamedSharding(mesh, P("dp", None)))
-        out = _batched_kl(
+        return _batched_kl(
             gref,
             sb,
             max_iters=max_iters,
             gain_eps=config.gain_eps,
             terminate_limit=config.terminate_limit(n),
         )
-        return _materialize_batched(out, batch)
 
     from eig_kl_tpu.kl.multipass import (
         refine_multipass_batch,
@@ -108,12 +107,46 @@ def multi_start_refine(
     )
 
     if resolved_passes(config) > 1:
-        results = refine_multipass_batch(run_batch, init_sides, config)
-    else:
-        results = run_batch(init_sides)
-    best_cuts = np.asarray([r.best_cut for r in results])
-    best = results[int(np.argmin(best_cuts))]
+        results = refine_multipass_batch(
+            lambda batch: _materialize_batched(run_raw(batch), batch),
+            init_sides,
+            config,
+        )
+        best_cuts = np.asarray([r.best_cut for r in results])
+        best = results[int(np.argmin(best_cuts))]
+        return best, best_cuts
+    # Single pass: fetch only the argmin start's logs (the full
+    # per-start materialization is multipass machinery -- it would
+    # device_get S whole log matrices and run S host replays).
+    out = run_raw(init_sides)
+    best_cuts = np.asarray(out.best_cut)
+    k = int(np.argmin(best_cuts))
+    best = _materialize_one(out, init_sides, k)
     return best, best_cuts
+
+
+def _materialize_one(out, init_sides: np.ndarray, k: int) -> KLResult:
+    """Host KLResult for start ``k`` of a vmapped ``_kl_loop`` batch."""
+    from eig_kl_tpu.kl.engine import best_iteration, replay_swaps
+
+    iterations = int(out.iterations[k])
+    log_cut = np.asarray(out.log_cut[k])
+    return KLResult(
+        sides=np.asarray(out.s[k] < 0, dtype=np.int8),
+        best_sides=replay_swaps(
+            init_sides[k],
+            np.asarray(out.log_a[k]),
+            np.asarray(out.log_b[k]),
+            best_iteration(log_cut, iterations),
+        ),
+        initial_cut=float(out.initial_cut[k]),
+        final_cut=float(out.cut[k]),
+        best_cut=float(out.best_cut[k]),
+        verified_cut=float(out.verified_cut[k]),
+        iterations=iterations,
+        cut_trajectory=log_cut[: iterations + 1],
+        gain_trajectory=np.asarray(out.log_gain[k])[: iterations + 1],
+    )
 
 
 def _materialize_batched(out, init_sides: np.ndarray) -> list[KLResult]:
@@ -212,6 +245,11 @@ def multi_start_refine_mega(
         )
     else:
         init_batch = np.asarray(init_sides, dtype=np.int8)
+        if len(init_batch) != num_starts:
+            raise ValueError(
+                f"init_sides has {len(init_batch)} starts, "
+                f"expected {num_starts}"
+            )
     if resolved_passes(config) > 1:
         results = refine_multipass_batch(run_batch, init_batch, config)
     else:
@@ -288,6 +326,11 @@ def multi_start_refine_mega_sharded(
         )
     else:
         sides_batch = np.asarray(init_sides, dtype=np.int8)
+        if len(sides_batch) != num_starts:
+            raise ValueError(
+                f"init_sides has {len(sides_batch)} starts, "
+                f"expected {num_starts}"
+            )
     Pn = mk._round_up(mg.padded_nodes, 1024)
     R = Pn // 128
     S = num_starts

@@ -187,6 +187,8 @@ def test_perturb_split():
         assert sides_balance(p) == sides_balance(sides)
         if frac > 0:
             assert (p != sides).sum() >= 2  # at least one pair moved
+        else:
+            np.testing.assert_array_equal(p, sides)  # frac=0 = identity
     # deterministic per seed, different across seeds
     np.testing.assert_array_equal(
         perturb_split(sides, 7, 0.1), perturb_split(sides, 7, 0.1)

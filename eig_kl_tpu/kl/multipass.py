@@ -104,6 +104,40 @@ def refine_multipass(
     return _merge(first, best, last, total_iters, cut_traj, gain_traj)
 
 
+def refine_ils(
+    refine_fn: Callable[[np.ndarray], KLResult],
+    sides: np.ndarray,
+    config: KLConfig,
+    *,
+    kicks: int,
+    kick_frac: float = 0.15,
+    seed: int = 0,
+) -> KLResult:
+    """Iterated local search: multi-pass descent, then ``kicks`` rounds
+    of perturb-the-best + re-descend, keeping the global best.
+
+    Small kicks fall back into the same basin (measured ibm01: frac
+    0.02 moves 368.9 -> 367.5 and plateaus); effective diversification
+    needs large kicks (frac 0.15: -> 340.9 in 20 kicks, better than
+    independent seeded multi-start's best-of-8 346.7).  The reference
+    has no analog — it cannot even roll back to its best state
+    (cKL.cpp:363).
+
+    Returns the winning descent's result (its bookkeeping stays
+    self-consistent: ``iterations == len(cut_trajectory) - 1``); the
+    other descents' work is visible only in wall time.
+    """
+    from eig_kl_tpu.kl.init import perturb_split
+
+    best = refine_multipass(refine_fn, sides, config)
+    for k in range(kicks):
+        kicked = perturb_split(best.best_sides, seed + k, kick_frac)
+        r = refine_multipass(refine_fn, kicked, config)
+        if r.best_cut < best.best_cut - _IMPROVE_EPS:
+            best = r
+    return best
+
+
 def refine_multipass_batch(
     run_batch: Callable[[np.ndarray], Sequence[KLResult]],
     init_batch: np.ndarray,

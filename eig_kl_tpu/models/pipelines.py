@@ -45,16 +45,29 @@ def _use_mega(config: KLConfig, dtype) -> bool:
     )
 
 
-def _refine_dispatch(g_host, g_dev, sides, config: KLConfig, dtype) -> KLResult:
+def refine_backend(g_host, g_dev, config: KLConfig, dtype):
+    """Single-pass refinement closure on the auto-selected engine."""
     if _use_mega(config, dtype):
         from eig_kl_tpu.kl.megakernel import MegaGraph, refine_mega
 
         mg = MegaGraph(g_host, plan=g_dev.plan, device_graph=g_dev)
-        backend = lambda s: refine_mega(mg, s, config)  # noqa: E731
-    else:
-        backend = lambda s: refine(g_dev, s, config)  # noqa: E731
-    from eig_kl_tpu.kl.multipass import refine_multipass, resolved_passes
+        return lambda s: refine_mega(mg, s, config)
+    return lambda s: refine(g_dev, s, config)
 
+
+def _refine_dispatch(g_host, g_dev, sides, config: KLConfig, dtype) -> KLResult:
+    backend = refine_backend(g_host, g_dev, config, dtype)
+    from eig_kl_tpu.kl.multipass import (
+        refine_ils,
+        refine_multipass,
+        resolved_passes,
+    )
+
+    if config.kicks > 0:
+        return refine_ils(
+            backend, sides, config,
+            kicks=config.kicks, kick_frac=config.kick_frac,
+        )
     if resolved_passes(config) <= 1:
         return backend(sides)
     return refine_multipass(backend, sides, config)
@@ -238,7 +251,7 @@ def _multi_start_dispatch(
     else:
         init_sides = None
     if _use_mega(config, dtype):
-        return multi_start_refine_mega(
+        best, cuts = multi_start_refine_mega(
             g_host,
             starts,
             config=config,
@@ -246,6 +259,22 @@ def _multi_start_dispatch(
             device_graph=g_dev,
             init_sides=init_sides,
         )
-    return multi_start_refine(
-        g_dev, starts, config=config, base_seed=seed, init_sides=init_sides
-    )
+    else:
+        best, cuts = multi_start_refine(
+            g_dev, starts, config=config, base_seed=seed,
+            init_sides=init_sides,
+        )
+    if config.kicks > 0:
+        # Iterated local search around the winning start (its first
+        # descent re-converges in ~1 cheap pass).
+        from eig_kl_tpu.kl.multipass import refine_ils
+
+        best = refine_ils(
+            refine_backend(g_host, g_dev, config, dtype),
+            best.best_sides,
+            config,
+            kicks=config.kicks,
+            kick_frac=config.kick_frac,
+            seed=seed,
+        )
+    return best, cuts

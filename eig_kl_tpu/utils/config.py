@@ -46,6 +46,13 @@ class KLConfig:
         the best cut (capped at :data:`eig_kl_tpu.kl.multipass.AUTO_PASS_CAP`).
         Passes converge in ~3-7 on the reference circuits and improve
         random-init cuts dramatically (ibm01 N=30 mean 3332 -> 1646).
+      kicks: iterated-local-search rounds after the (multi-pass)
+        descent: perturb the best partition by ``kick_frac`` balanced
+        pair swaps (:func:`eig_kl_tpu.kl.init.perturb_split`),
+        re-descend, keep the global best.  0 = off.  Measured ibm01
+        (power init): 20 kicks at 0.15 move the best cut 369 -> 341.
+      kick_frac: kick size as a fraction of nodes.  Large kicks are
+        required to escape the basin (0.02 plateaus, 0.15-0.3 works).
     """
 
     gain_eps: float = 0.0
@@ -54,6 +61,8 @@ class KLConfig:
     refresh_interval: int = 0
     use_pallas: bool | None = None
     passes: int = 1
+    kicks: int = 0
+    kick_frac: float = 0.15
 
     def terminate_limit(self, num_nodes: int) -> int:
         return int(math.log2(max(num_nodes, 2))) + self.terminate_extra

@@ -214,6 +214,35 @@ def test_fused_spectral_seeded_multi_start(problem):
     assert rm.kl.best_cut <= r1.kl.best_cut + 1e-6
 
 
+def test_refine_ils_improves_or_equal(problem):
+    from eig_kl_tpu.kl.multipass import refine_ils
+    from test_partition_ops import brute_cut as _bc
+
+    g, dg = problem
+    sides = random_split(g.num_nodes, seed=5)
+    cfg = KLConfig(passes=0)
+    base = refine_multipass(_backend(dg, cfg), sides, cfg)
+    ils = refine_ils(
+        _backend(dg, cfg), sides, cfg, kicks=6, kick_frac=0.15, seed=1
+    )
+    assert ils.best_cut <= base.best_cut + 1e-9
+    assert _bc(g, ils.best_sides) == pytest.approx(ils.best_cut, rel=1e-9)
+    assert sides_balance(ils.best_sides) == sides_balance(sides)
+    assert ils.iterations == len(ils.cut_trajectory) - 1
+
+
+def test_pipeline_kicks_flag(problem):
+    from eig_kl_tpu.models.pipelines import kl_partition
+
+    rng = np.random.default_rng(7)
+    hg = random_hypergraph(rng, num_nodes=80, num_nets=160)
+    r0 = kl_partition(hg, kl_config=KLConfig(passes=0), seed=4)
+    rk = kl_partition(
+        hg, kl_config=KLConfig(passes=0, kicks=4, kick_frac=0.2), seed=4
+    )
+    assert rk.kl.best_cut <= r0.kl.best_cut + 1e-9
+
+
 def test_pipeline_passes_flag(problem):
     """kl_partition honors KLConfig.passes end to end."""
     from eig_kl_tpu.io.hgr import Hypergraph  # noqa: F401  (type only)

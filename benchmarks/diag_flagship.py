@@ -76,12 +76,21 @@ def main() -> int:
             starts=8,
         )
         t_flag = time.time() - t0
+        t0 = time.time()
+        kicked = fused_partition(
+            hg,
+            spectral_config=spec,
+            kl_config=KLConfig(passes=0, kicks=20),
+            starts=8,
+        )
+        t_kick = time.time() - t0
         ref = ref_eig_cut(circ)
         reftxt = f"{ref:.2f}" if ref is not None else "--"
         print(
             f"{circ:10s} ref -EIG {reftxt:>9s} | power+mp "
             f"{single.kl.best_cut:9.2f} ({t_single:.1f}s) | flagship "
-            f"best-of-8 {flag.kl.best_cut:9.2f} ({t_flag:.1f}s)",
+            f"best-of-8 {flag.kl.best_cut:9.2f} ({t_flag:.1f}s) | "
+            f"+20 kicks {kicked.kl.best_cut:9.2f} ({t_kick:.1f}s)",
             flush=True,
         )
     return 0

@@ -147,6 +147,15 @@ def build_parser() -> argparse.ArgumentParser:
         "jitter each start's spectral init",
     )
     p_fused.add_argument(
+        "--solver",
+        choices=["power", "lanczos", "lobpcg"],
+        default="power",
+        help="in-process eigensolver. 'power' is the gKL2-parity "
+        "default (shift-inverted iteration, gKL2.cu:65-89); 'lanczos' "
+        "matches the cEIG/Spectra init instead — it wins on tiny "
+        "circuits (fract: 21.50 vs power's 29.17, PARITY.md)",
+    )
+    p_fused.add_argument(
         "--power-iters",
         type=int,
         default=None,
@@ -241,7 +250,9 @@ def _run_kl(args, fused: bool) -> int:
         run = fused_partition(
             hg,
             use_eig=args.eig_init,
-            spectral_config=SpectralConfig(solver="power", **spec_kwargs),
+            spectral_config=SpectralConfig(
+                solver=getattr(args, "solver", "power"), **spec_kwargs
+            ),
             kl_config=kl_config,
             seed=args.seed,
             dtype=dtype,

@@ -201,7 +201,13 @@ def fused_partition(
     with tracer.span("init"):
         if use_eig:
             with tracer.span("spectral.total"):
-                eig = eig_partition(hg, spectral_config, dtype=dtype, graph=g)
+                # The power solver reuses the KL-weighted adjacency
+                # (gKL2's own design, gKL2.cu:262-303); lanczos/lobpcg
+                # need the 2/k EIG weighting and build it themselves.
+                shared = g if spectral_config.solver == "power" else None
+                eig = eig_partition(
+                    hg, spectral_config, dtype=dtype, graph=shared
+                )
             sides = eig.sides
         else:
             sides = random_split(hg.num_nodes, seed)

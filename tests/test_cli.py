@@ -111,6 +111,11 @@ class TestCli:
         assert _main(["fused", "c.hgr", "-EIG", "--power-iters", "60"]) == 0
         assert "Verified cut size" in capsys.readouterr().out
 
+    def test_fused_lanczos_solver(self, workdir, capsys):
+        _main(["generate", "0.001", "-o", "c.hgr", "--seed", "1"])
+        assert _main(["fused", "c.hgr", "-EIG", "--solver", "lanczos"]) == 0
+        assert "Verified cut size" in capsys.readouterr().out
+
     def test_kl_table(self, workdir, capsys):
         _main(["generate", "0.001", "-o", "c.hgr", "--seed", "1"])
         assert _main(["kl", "c.hgr", "--table"]) == 0

@@ -76,6 +76,18 @@ def test_spectral_partition_pipeline(fract):
     assert run.kl is None
 
 
+def test_fused_partition_lanczos_solver(fract):
+    """fused --solver lanczos runs the cEIG-parity init in-process:
+    the eigenvalue must match the golden Spectra λ₂ (the power solver's
+    shift-inverted iterate does not), on the 2/k weighting even though
+    the refinement graph is 1/(k−1)-weighted."""
+    run = fused_partition(
+        fract, use_eig=True, spectral_config=SpectralConfig(solver="lanczos")
+    )
+    assert run.eig.eigenvalue == pytest.approx(0.254706743273, abs=1e-6)
+    assert run.kl.best_cut <= run.kl.initial_cut
+
+
 def test_trajectory_file_format(tmp_path, fract):
     run = kl_partition(fract, seed=0, kl_config=KLConfig(max_iterations=5))
     path = str(tmp_path / "results" / "t.txt")

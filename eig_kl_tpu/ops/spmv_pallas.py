@@ -58,14 +58,26 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _reduce_rowwise() -> bool:
-    """Escape hatch: EIG_KL_TPU_REDUCE_ROWWISE=1 switches the MXU
-    reduce's y-update from one (H, 128) dynamic update to H per-row
-    updates (in case a Mosaic version rejects multi-row dynamic updates
-    at non-8-aligned sublane offsets).  Read per call and threaded as a
-    static jit argument, so toggling it mid-process recompiles instead
-    of silently hitting stale cached kernels."""
-    return os.environ.get("EIG_KL_TPU_REDUCE_ROWWISE") == "1"
+def _reduce_rowwise(rblock: int) -> bool:
+    """Pick the MXU reduce's y-update form: H per-row dynamic updates
+    vs one (H, 128) multi-row dynamic update (H = rblock/128).
+
+    Default: per-row at H <= 4 — that is the form every hardware run
+    through round 3 validated (the default rblock=512 path, incl. the
+    driver bench) — and the batched form only for the coarse row-blocks
+    (H = 16/32) where per-row means 8*H dynamic slices per body, slow
+    to run and to compile.  The batched form risks a Mosaic rejection
+    of multi-row dynamic updates at non-8-aligned sublane offsets on
+    some toolchains; EIG_KL_TPU_REDUCE_ROWWISE=1/0 forces either form.
+    Read per call and threaded as a static jit argument, so toggling it
+    mid-process recompiles instead of silently hitting stale cached
+    kernels.  Both forms pass the interpret-mode parity tests."""
+    env = os.environ.get("EIG_KL_TPU_REDUCE_ROWWISE")
+    if env == "1":
+        return True
+    if env == "0":
+        return False
+    return rblock // 128 <= 4
 
 
 def _ensure_row_sorted(rows, cols, weights):
@@ -379,7 +391,7 @@ def spmv_pallas_2d(
             interpret=interpret,
             inter_dtype=inter_dtype,
             rblock=plan.rblock,
-            reduce_rowwise=_reduce_rowwise(),
+            reduce_rowwise=_reduce_rowwise(plan.rblock),
         )
         if plan.tail is not None:
             y = y + _spmv_call(plan.tail, x2d, interpret=interpret)
@@ -426,7 +438,7 @@ def spmv_pallas(
             g2=plan.g2,
             interpret=interpret,
             rblock=plan.rblock,
-            reduce_rowwise=_reduce_rowwise(),
+            reduce_rowwise=_reduce_rowwise(plan.rblock),
         )
         if plan.tail is not None:
             y = y + _spmv_call(plan.tail, x2d, interpret=interpret)

@@ -372,6 +372,38 @@ class TestBf16Intermediates:
                     <= 2e-2 * max(np.abs(y_ref).max(), 1.0)
                 )
 
+    def test_v2_reduce_rowwise_forms_match(self, rng, monkeypatch):
+        """The MXU reduce's two y-update forms (per-row dynamic updates
+        vs one (H,128) multi-row update) are bit-identical at both
+        rblock classes; EIG_KL_TPU_REDUCE_ROWWISE=1/0 forces the form
+        and the default gate picks per-row at rblock 512 (H<=4, the
+        hardware-proven path) and batched at coarse rblocks."""
+        from eig_kl_tpu.ops.spmv_pallas import (
+            _reduce_rowwise, build_plan_v2, spmv_pallas_2d,
+        )
+
+        monkeypatch.delenv("EIG_KL_TPU_REDUCE_ROWWISE", raising=False)
+        assert _reduce_rowwise(512) and not _reduce_rowwise(2048)
+        monkeypatch.setenv("EIG_KL_TPU_REDUCE_ROWWISE", "0")
+        assert not _reduce_rowwise(512)
+        monkeypatch.setenv("EIG_KL_TPU_REDUCE_ROWWISE", "1")
+        assert _reduce_rowwise(2048)
+
+        n, nnz = 4000, 12000
+        rows = np.sort(rng.integers(0, n, nnz).astype(np.int64))
+        cols = rng.integers(0, n, nnz).astype(np.int64)
+        w = rng.random(nnz).astype(np.float32)
+        x = rng.standard_normal(n).astype(np.float32)
+        for rblock in (512, 2048):
+            plan = build_plan_v2(n, rows, cols, w, rblock=rblock)
+            P = plan.padded_nodes
+            x2d = jnp.zeros(P, jnp.float32).at[:n].set(x).reshape(P // 128, 128)
+            outs = []
+            for force in ("1", "0"):
+                monkeypatch.setenv("EIG_KL_TPU_REDUCE_ROWWISE", force)
+                outs.append(np.asarray(spmv_pallas_2d(plan, x2d, interpret=True)))
+            np.testing.assert_array_equal(outs[0], outs[1])
+
     def test_v2_rblock_autocoarsens_at_low_occupancy(self, rng):
         """A sparse wide graph (bucket occupancy < 4 at rblock 512)
         auto-selects a coarser row block; a dense one keeps 512."""

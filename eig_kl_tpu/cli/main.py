@@ -337,6 +337,7 @@ def _run_kl(args, fused: bool) -> int:
                 kicks=kl_config.kicks,
                 kick_frac=kl_config.kick_frac,
                 seed=args.seed,
+                incumbent=best,
             )
         run = PartitionRun(
             circuit=hg.name, eig=None, kl=best, timings={}, nnz=g_host.nnz

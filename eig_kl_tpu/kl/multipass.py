@@ -104,6 +104,18 @@ def refine_multipass(
     return _merge(first, best, last, total_iters, cut_traj, gain_traj)
 
 
+def _kick_seed(seed: int, k: int) -> int:
+    """Derive kick ``k``'s perturbation seed.  Hashed through a
+    SeedSequence keyed on a kick-only constant so the stream never
+    collides with the multi-start jitter seeds (``seed + 1 + i``) or
+    the random-init base seeds — a raw ``seed + k`` would make kick 1
+    replay start 1's jitter and re-descend an already-explored basin."""
+    return int(
+        np.random.SeedSequence([seed & 0x7FFFFFFF, 0x4B49434B, k])
+        .generate_state(1)[0]
+    )
+
+
 def refine_ils(
     refine_fn: Callable[[np.ndarray], KLResult],
     sides: np.ndarray,
@@ -112,6 +124,7 @@ def refine_ils(
     kicks: int,
     kick_frac: float = 0.15,
     seed: int = 0,
+    incumbent: KLResult | None = None,
 ) -> KLResult:
     """Iterated local search: multi-pass descent, then ``kicks`` rounds
     of perturb-the-best + re-descend, keeping the global best.
@@ -123,18 +136,34 @@ def refine_ils(
     has no analog — it cannot even roll back to its best state
     (cKL.cpp:363).
 
-    Returns the winning descent's result (its bookkeeping stays
-    self-consistent: ``iterations == len(cut_trajectory) - 1``); the
-    other descents' work is visible only in wall time.
+    ``incumbent``: a descent that already converged (e.g. the
+    multi-start winner) to kick from directly, skipping the leading
+    re-descent of an already-local-optimal partition (``sides`` is
+    ignored then).
+
+    The returned result is the winning descent with ``initial_cut``
+    rewritten to the FIRST descent's initial cut, so ``improvement``
+    and the reference-format report measure the whole run, not the
+    winning kick's perturbed restart.  ``iterations`` and the
+    trajectories stay the winner's own (self-consistent:
+    ``iterations == len(cut_trajectory) - 1``); losing descents' work
+    is visible only in wall time.
     """
     from eig_kl_tpu.kl.init import perturb_split
 
-    best = refine_multipass(refine_fn, sides, config)
+    best = (
+        incumbent
+        if incumbent is not None
+        else refine_multipass(refine_fn, sides, config)
+    )
+    initial_cut = best.initial_cut
     for k in range(kicks):
-        kicked = perturb_split(best.best_sides, seed + k, kick_frac)
+        kicked = perturb_split(best.best_sides, _kick_seed(seed, k), kick_frac)
         r = refine_multipass(refine_fn, kicked, config)
         if r.best_cut < best.best_cut - _IMPROVE_EPS:
             best = r
+    if best.initial_cut != initial_cut:
+        best = dataclasses.replace(best, initial_cut=initial_cut)
     return best
 
 

@@ -55,7 +55,9 @@ def refine_backend(g_host, g_dev, config: KLConfig, dtype):
     return lambda s: refine(g_dev, s, config)
 
 
-def _refine_dispatch(g_host, g_dev, sides, config: KLConfig, dtype) -> KLResult:
+def _refine_dispatch(
+    g_host, g_dev, sides, config: KLConfig, dtype, seed: int = 0
+) -> KLResult:
     backend = refine_backend(g_host, g_dev, config, dtype)
     from eig_kl_tpu.kl.multipass import (
         refine_ils,
@@ -66,7 +68,7 @@ def _refine_dispatch(g_host, g_dev, sides, config: KLConfig, dtype) -> KLResult:
     if config.kicks > 0:
         return refine_ils(
             backend, sides, config,
-            kicks=config.kicks, kick_frac=config.kick_frac,
+            kicks=config.kicks, kick_frac=config.kick_frac, seed=seed,
         )
     if resolved_passes(config) <= 1:
         return backend(sides)
@@ -146,7 +148,7 @@ def kl_partition(
         else:
             sides = np.asarray(init, dtype=np.int8)
     with tracer.span("kl.refine"):
-        result = _refine_dispatch(g_host, g, sides, kl_config, dtype)
+        result = _refine_dispatch(g_host, g, sides, kl_config, dtype, seed)
     if perm is not None:
         # Map the relabeled run back to original node ids
         # (new node p == old node perm[p]).
@@ -219,7 +221,7 @@ def fused_partition(
                 perturb_base=use_eig,
             )
         else:
-            result = _refine_dispatch(g_host, g, sides, kl_config, dtype)
+            result = _refine_dispatch(g_host, g, sides, kl_config, dtype, seed)
     return PartitionRun(
         circuit=hg.name,
         eig=eig,
@@ -271,8 +273,9 @@ def _multi_start_dispatch(
             init_sides=init_sides,
         )
     if config.kicks > 0:
-        # Iterated local search around the winning start (its first
-        # descent re-converges in ~1 cheap pass).
+        # Iterated local search around the winning start; the winner is
+        # already converged, so it enters as the incumbent (no wasted
+        # leading re-descent).
         from eig_kl_tpu.kl.multipass import refine_ils
 
         best = refine_ils(
@@ -282,5 +285,6 @@ def _multi_start_dispatch(
             kicks=config.kicks,
             kick_frac=config.kick_frac,
             seed=seed,
+            incumbent=best,
         )
     return best, cuts

@@ -41,7 +41,21 @@ def enable_persistent_cache() -> str | None:
         return cache_dir
     import jax
 
-    if jax.default_backend() != "tpu":
+    try:
+        backend = jax.default_backend()
+    except RuntimeError:
+        # The default backend cannot initialize — e.g. a TPU plugin is
+        # registered but the device is unreachable (it may also
+        # intercept JAX_PLATFORMS, so the env route can't opt out).
+        # Force CPU via the config API (which wins over the plugin) so
+        # the caller proceeds on CPU instead of dying here; no cache in
+        # that case.
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
+        return None
+    if backend != "tpu":
         # XLA:CPU persists AOT results whose machine-feature stamps
         # mismatch on reload (warning spam, documented SIGILL risk),
         # and CPU compiles here are seconds, not the TPU's ~80 s --

@@ -241,6 +241,62 @@ def test_pipeline_kicks_flag(problem):
         hg, kl_config=KLConfig(passes=0, kicks=4, kick_frac=0.2), seed=4
     )
     assert rk.kl.best_cut <= r0.kl.best_cut + 1e-9
+    # The run's report must measure from the ORIGINAL init, not a
+    # winning kick's perturbed restart: same seed => same random init
+    # => identical initial_cut with and without kicks.
+    assert rk.kl.initial_cut == pytest.approx(r0.kl.initial_cut)
+
+
+def test_refine_ils_seed_and_incumbent(problem):
+    """--seed reaches the kick perturbations (a fixed regression: the
+    single-start dispatch dropped it), kick seeds are decorrelated from
+    the multi-start jitter stream, and an incumbent skips the leading
+    re-descent while keeping its bookkeeping."""
+    from eig_kl_tpu.kl.multipass import _kick_seed, refine_ils
+
+    g, dg = problem
+    sides = random_split(g.num_nodes, seed=5)
+    cfg = KLConfig(passes=1)
+    # Kick-seed stream never collides with the multi-start jitter
+    # seeds (seed + 1 + i) for small offsets.
+    assert {_kick_seed(3, k) for k in range(32)}.isdisjoint(
+        {3 + 1 + i for i in range(32)}
+    )
+    # The seed must reach the kick perturbations: record the partition
+    # each kick descends from and check it varies with the seed.
+    def recording_backend(log):
+        def fn(s):
+            log.append(np.asarray(s).copy())
+            return _backend(dg, cfg)(s)
+        return fn
+
+    kick_inputs = {}
+    for s in (1, 2):
+        log = []
+        refine_ils(
+            recording_backend(log), sides, cfg, kicks=1, kick_frac=0.3,
+            seed=s,
+        )
+        kick_inputs[s] = log[-1]  # last call = the kicked restart
+    assert not np.array_equal(kick_inputs[1], kick_inputs[2]), (
+        "seed must vary ILS exploration"
+    )
+
+    calls = []
+    base = refine_multipass(_backend(dg, cfg), sides, cfg)
+
+    def counting_backend(s):
+        calls.append(1)
+        return _backend(dg, cfg)(s)
+
+    r = refine_ils(
+        counting_backend, sides, cfg, kicks=2, kick_frac=0.3, seed=0,
+        incumbent=base,
+    )
+    # Only the kick descents run (passes=1 => one call per kick).
+    assert len(calls) == 2
+    assert r.best_cut <= base.best_cut + 1e-9
+    assert r.initial_cut == pytest.approx(base.initial_cut)
 
 
 def test_pipeline_passes_flag(problem):

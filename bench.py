@@ -51,8 +51,17 @@ def main() -> int:
     )
     args = ap.parse_args()
 
-    from eig_kl_tpu.utils.jaxcache import enable_persistent_cache
+    from eig_kl_tpu.utils.jaxcache import (
+        enable_persistent_cache,
+        ensure_responsive_backend,
+    )
 
+    # An unreachable TPU plugin HANGS backend init (it does not raise);
+    # probe it in a bounded subprocess and force CPU on timeout so the
+    # bench always produces its JSON line.
+    probe = ensure_responsive_backend()
+    if probe == "cpu-forced":
+        log("backend probe timed out: TPU unreachable, falling back to CPU")
     cache_dir = enable_persistent_cache()
 
     import jax
@@ -182,6 +191,10 @@ def main() -> int:
                 "warmup_seconds": round(t_warm, 2),
                 "spectral_seconds": round(t_spec, 4),
                 "kl_seconds": round(t_kl, 4),
+                # Self-identify the device: if the TPU plugin is down
+                # the harness falls back to CPU (utils/jaxcache.py) and
+                # these numbers must not read as TPU results.
+                "backend": jax.default_backend(),
             }
         )
     )

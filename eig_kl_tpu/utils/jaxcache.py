@@ -23,6 +23,98 @@ from __future__ import annotations
 import os
 
 _enabled = False
+_probed: str | None = None
+
+
+def ensure_responsive_backend(timeout: float | None = None) -> str:
+    """Guard against a *hanging* (not erroring) default backend.
+
+    When the TPU plugin is registered but the device is unreachable,
+    ``jax.default_backend()`` blocks indefinitely inside native code —
+    no RuntimeError is raised, so the fallback in
+    :func:`enable_persistent_cache` never runs and an unattended
+    caller (bench.py, the driver's compile check) hangs forever.
+
+    This probes backend initialization in a *subprocess* with a hard
+    timeout; on timeout/failure it forces the current process onto CPU
+    via ``jax.config`` BEFORE the backend initializes.  Must therefore
+    be called before any jax device use.
+
+    Returns the probed backend name, or ``"cpu-forced"`` /
+    ``"skipped"`` / ``"env"``.
+
+    Environment knobs:
+      EIG_KL_TPU_BACKEND_PROBE=0     skip the probe entirely
+      EIG_KL_TPU_PROBE_TIMEOUT=SECS  probe timeout (default 120)
+    """
+    global _probed
+    if _probed is not None:
+        return _probed
+    if os.environ.get("EIG_KL_TPU_BACKEND_PROBE") == "0":
+        return "skipped"
+    if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+        # Pinned to CPU already — nothing that can hang, and nothing
+        # the fallback would change.  (Any OTHER value, e.g. the axon
+        # TPU plugin, must still be probed: the plugin hangs rather
+        # than errors when the device is unreachable.  The probe child
+        # inherits the env, so it tests exactly what this process
+        # would initialize.)
+        _probed = "env-cpu"
+        return _probed
+    if timeout is None:
+        timeout = float(os.environ.get("EIG_KL_TPU_PROBE_TIMEOUT", "120"))
+    import signal
+    import subprocess
+    import sys
+    import tempfile
+
+    # NOT subprocess.run(capture_output=True): a hanging plugin can
+    # spawn helper processes that inherit the pipe, so after the
+    # timeout-kill the parent still blocks on pipe EOF.  Write stdout
+    # to a file and kill the whole process group instead.
+    backend = ""
+    try:
+        with tempfile.TemporaryFile(mode="w+") as out_f:
+            proc = subprocess.Popen(
+                [
+                    sys.executable,
+                    "-c",
+                    "import jax; print(jax.default_backend())",
+                ],
+                stdout=out_f,
+                stderr=subprocess.DEVNULL,
+                start_new_session=True,
+            )
+            try:
+                rc = proc.wait(timeout=timeout)
+            except subprocess.TimeoutExpired:
+                rc = -1
+                try:
+                    os.killpg(os.getpgid(proc.pid), signal.SIGKILL)
+                except (ProcessLookupError, PermissionError):
+                    proc.kill()
+                proc.wait()
+            if rc == 0:
+                out_f.seek(0)
+                text = out_f.read().strip()
+                if text:
+                    backend = text.splitlines()[-1]
+    except OSError:
+        pass
+    if backend:
+        _probed = backend
+        return _probed
+    import jax
+
+    try:
+        # Wins over a registered-but-unreachable plugin as long as the
+        # backend has not initialized yet (the env route can be
+        # intercepted by the plugin, hence the config API).
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
+    _probed = "cpu-forced"
+    return _probed
 
 
 def enable_persistent_cache() -> str | None:

@@ -148,12 +148,13 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p_fused.add_argument(
         "--solver",
-        choices=["power", "lanczos", "lobpcg"],
-        default="power",
+        choices=["auto", "power", "lanczos", "lobpcg"],
+        default="auto",
         help="in-process eigensolver. 'power' is the gKL2-parity "
-        "default (shift-inverted iteration, gKL2.cu:65-89); 'lanczos' "
+        "solver (shift-inverted iteration, gKL2.cu:65-89); 'lanczos' "
         "matches the cEIG/Spectra init instead — it wins on tiny "
-        "circuits (fract: 21.50 vs power's 29.17, PARITY.md)",
+        "circuits (fract: 21.50 vs power's 29.17, PARITY.md). "
+        "'auto' (default) picks lanczos at <=2048 nodes, power above",
     )
     p_fused.add_argument(
         "--power-iters",

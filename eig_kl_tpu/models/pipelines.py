@@ -203,9 +203,15 @@ def fused_partition(
     with tracer.span("init"):
         if use_eig:
             with tracer.span("spectral.total"):
-                # The power solver reuses the KL-weighted adjacency
-                # (gKL2's own design, gKL2.cu:262-303); lanczos/lobpcg
-                # need the 2/k EIG weighting and build it themselves.
+                # Resolve "auto" BEFORE the shared-graph decision: the
+                # power solver reuses the KL-weighted adjacency (gKL2's
+                # own design, gKL2.cu:262-303); lanczos/lobpcg need the
+                # 2/k EIG weighting and build it themselves.
+                from eig_kl_tpu.utils.config import resolve_solver
+
+                spectral_config = resolve_solver(
+                    spectral_config, hg.num_nodes
+                )
                 shared = g if spectral_config.solver == "power" else None
                 eig = eig_partition(
                     hg, spectral_config, dtype=dtype, graph=shared

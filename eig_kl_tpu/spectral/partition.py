@@ -69,7 +69,9 @@ def eig_partition(
         (built internally when omitted and refinement is on).
     """
     from eig_kl_tpu.graph.expand import clique_expand
+    from eig_kl_tpu.utils.config import resolve_solver
 
+    config = resolve_solver(config, hg.num_nodes)
     refine = config.host_refine
     if refine is None:
         refine = config.solver in ("lanczos", "lobpcg") and (

@@ -74,9 +74,14 @@ class SpectralConfig:
 
     Attributes:
       solver: "lanczos" (cEIG-flavor, Spectra-equivalent),
-        "power" (gKL2-flavor shift-inverted power iteration), or
+        "power" (gKL2-flavor shift-inverted power iteration),
         "lobpcg" (jax.experimental LOBPCG on the spectrum-flipped
-        operator).
+        operator), or "auto" (lanczos when the circuit has at most
+        ``auto_lanczos_max_nodes`` nodes, power otherwise — measured:
+        the power init refines 25-37% BELOW the reference flow on
+        every real circuit, but on the 149-node fract the Lanczos
+        init is the one that ties the reference's 21.50, PARITY.md).
+        Resolve with :func:`resolve_solver` before dispatching.
       num_lanczos: Krylov subspace size, min(100, n//2) if None
         (cEIG.cpp:195's ncv).
       max_iterations: power-iteration cap (gKL2.cu:26) / Lanczos restarts.
@@ -134,3 +139,21 @@ class SpectralConfig:
     stable_checks: int = 2
     inter_dtype: str = "bfloat16"
     host_refine: bool | None = None
+    auto_lanczos_max_nodes: int = 2048
+
+
+def resolve_solver(config: SpectralConfig, num_nodes: int) -> SpectralConfig:
+    """Resolve ``solver="auto"`` to a concrete solver for this circuit.
+
+    Tiny circuits get the Lanczos (cEIG-flavor) init — it is cheap at
+    that scale and measurably the better downstream init there (fract:
+    21.50 vs the power init's 29.17, PARITY.md); everything else gets
+    the power solver, whose init refines 25-37% below the reference
+    flow on the real circuits.  No-op for concrete solvers.
+    """
+    if config.solver != "auto":
+        return config
+    solver = (
+        "lanczos" if num_nodes <= config.auto_lanczos_max_nodes else "power"
+    )
+    return dataclasses.replace(config, solver=solver)

@@ -88,6 +88,22 @@ def test_fused_partition_lanczos_solver(fract):
     assert run.kl.best_cut <= run.kl.initial_cut
 
 
+def test_solver_auto_resolution(fract):
+    """solver="auto" picks lanczos at <=2048 nodes and power above
+    (resolve_solver); on the 149-node fract the fused auto pipeline
+    therefore reproduces the golden Spectra λ₂ exactly."""
+    from eig_kl_tpu.utils.config import resolve_solver
+
+    cfg = SpectralConfig(solver="auto")
+    assert resolve_solver(cfg, 149).solver == "lanczos"
+    assert resolve_solver(cfg, 2049).solver == "power"
+    # Concrete solvers pass through untouched.
+    assert resolve_solver(SpectralConfig(solver="power"), 1).solver == "power"
+
+    run = fused_partition(fract, use_eig=True, spectral_config=cfg)
+    assert run.eig.eigenvalue == pytest.approx(0.254706743273, abs=1e-6)
+
+
 def test_trajectory_file_format(tmp_path, fract):
     run = kl_partition(fract, seed=0, kl_config=KLConfig(max_iterations=5))
     path = str(tmp_path / "results" / "t.txt")

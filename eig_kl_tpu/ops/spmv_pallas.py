@@ -80,6 +80,21 @@ def _reduce_rowwise(rblock: int) -> bool:
     return rblock // 128 <= 4
 
 
+def _reduce_impl_default() -> str:
+    """Pick the v2 reduce kernel: "mxu2" (factored one-hot, default),
+    "mxu" (dense one-hot), or "vpu" (compare-sum chain).
+
+    The dense one-hot's (128, CHUNK) lane compare + select is the whole
+    matvec's compute floor (~2x128 element-ops per slot); "mxu2"
+    factors the lane one-hot as an (A, CHUNK) x (B, CHUNK) outer
+    product with A*B = 128, prebuilding f[(h,a), s] = eh*oh_a on the
+    VPU and contracting against oh_b on the MXU -- ~2A + 2B + H*A
+    element-ops per slot (H=4: ~80 vs ~264).
+    EIG_KL_TPU_REDUCE_IMPL overrides (read per call, threaded as a
+    static jit arg, so toggling mid-process recompiles)."""
+    return os.environ.get("EIG_KL_TPU_REDUCE_IMPL", "mxu")
+
+
 def _ensure_row_sorted(rows, cols, weights):
     """The native planners rely on CSR (row-major) entry order for
     their stable counting sort; sort first for arbitrary COO input."""
@@ -390,6 +405,7 @@ def spmv_pallas_2d(
             g2=plan.g2,
             interpret=interpret,
             inter_dtype=inter_dtype,
+            reduce_impl=_reduce_impl_default(),
             rblock=plan.rblock,
             reduce_rowwise=_reduce_rowwise(plan.rblock),
         )
@@ -854,6 +870,90 @@ def _reduce_kernel_mxu(
     lax.fori_loop(0, GB2, body, 0)
 
 
+def _reduce_kernel_mxu2(
+    rb_ref, e_ref, rl_ref, y_ref, *, ry: int, rblock: int = RBLOCK,
+    rowwise: bool = False,
+):
+    """Factored-one-hot form of the MXU reduce.
+
+    The dense form (:func:`_reduce_kernel_mxu`) builds the full
+    (128, CHUNK) lane one-hot with a compare + select -- ~2*128
+    element-ops per slot, which IS the matvec's compute floor on the
+    VPU (the HBM traffic is ~10x below the bandwidth bound).  This
+    form factors the 128-lane one-hot as an outer product over
+    lane = a*B + b with A*B = 128:
+
+        part[h, a*B+b] = sum_s eh[h,s] * oh_a[a,s] * oh_b[b,s]
+                       = sum_s f[(h,a), s] * oh_b[b,s]
+
+    f = eh * oh_a is a VPU elementwise broadcast multiply over
+    (H*A, CHUNK) and the s-contraction against oh_b is one
+    (H*A, CHUNK) x (B, CHUNK)^T ``dot_general`` on the MXU.  Per slot
+    that is ~2A + 2B + 2H + H*A element-ops vs the dense form's
+    ~2*128 + 2H; A is chosen per H to minimize it (H=4: A=8 -> ~88 vs
+    ~272).  The (H*A, B) result's row-major flatten
+    [(h,a), b] = [h, (a,b)] IS the (H, 128) y-tile, so the reshape is
+    layout-free.  Padding slots carry rl = -1: (rl >> 7) = -1 matches
+    no h, so eh (hence f) is zero there and nothing reaches the dot."""
+    c = pl.program_id(0)
+    H = rblock // 128
+    # Minimize 2A + 2B + H*A subject to A*B = 128, A/B powers of two.
+    A = min(
+        (a for a in (2, 4, 8, 16) ),
+        key=lambda a: 2 * a + 2 * (128 // a) + H * a,
+    )
+    B = 128 // A
+    shift_b = B.bit_length() - 1
+
+    @pl.when(c == 0)
+    def _():
+        y_ref[:] = jnp.zeros_like(y_ref)
+
+    h_iota = jax.lax.broadcasted_iota(jnp.int32, (H, CHUNK), 0)
+    ha_iota = jax.lax.broadcasted_iota(jnp.int32, (H * A, CHUNK), 0) % A
+    b_iota = jax.lax.broadcasted_iota(jnp.int32, (B, CHUNK), 0)
+
+    prec = (
+        jax.lax.Precision.DEFAULT
+        if e_ref.dtype == jnp.bfloat16
+        else jax.lax.Precision.HIGHEST
+    )
+
+    def body(b, _):
+        e_blk = e_ref[pl.ds(b, 1)][0]                    # (8, CHUNK)
+        rl_blk = rl_ref[pl.ds(b, 1)][0].astype(jnp.int32)
+        for j in range(8):
+            rl_row = rl_blk[j : j + 1, :]                # (1, CHUNK)
+            e_row = e_blk[j : j + 1, :]
+            eh = jnp.where(
+                h_iota == (rl_row >> 7), e_row.astype(jnp.float32), 0.0
+            )                                            # (H, CHUNK)
+            lane = rl_row & 127
+            a_of_s = lane >> shift_b                     # (1, CHUNK)
+            # f[(h,a), s] = eh[h,s] * [a == a_of_s]: one select over
+            # (H*A, CHUNK) with eh rows repeated A-fold (row-major
+            # (H, A) flatten, so row (h*A + a) carries eh[h]).
+            eh_rep = jnp.repeat(eh, A, axis=0)           # (H*A, CHUNK)
+            f = jnp.where(ha_iota == a_of_s, eh_rep, 0.0)
+            oh_b = (b_iota == (lane & (B - 1))).astype(jnp.float32)
+            part = jax.lax.dot_general(
+                f,
+                oh_b,
+                (((1,), (1,)), ((), ())),
+                precision=prec,
+                preferred_element_type=jnp.float32,
+            ).reshape(H, 128)                            # [(h,a), b] -> [h, a*B+b]
+            rb = rb_ref[(c * GB2 + b) * 8 + j]
+            if rowwise:
+                for h in range(H):
+                    y_ref[pl.ds(rb * H + h, 1), :] += part[h : h + 1, :]
+            else:
+                y_ref[pl.ds(rb * H, H), :] += part
+        return 0
+
+    lax.fori_loop(0, GB2, body, 0)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -933,7 +1033,9 @@ def _spmv_v2_call(
         et.reshape(C2, CHUNK), ((0, C2g * 8 - C2), (0, 0))
     ).reshape(C2g, 8, CHUNK)
 
-    if reduce_impl == "mxu":
+    if reduce_impl == "mxu2":
+        red = functools.partial(_reduce_kernel_mxu2, rowwise=reduce_rowwise)
+    elif reduce_impl == "mxu":
         red = functools.partial(_reduce_kernel_mxu, rowwise=reduce_rowwise)
     else:
         red = _reduce_kernel

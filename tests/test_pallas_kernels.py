@@ -404,6 +404,49 @@ class TestBf16Intermediates:
                 outs.append(np.asarray(spmv_pallas_2d(plan, x2d, interpret=True)))
             np.testing.assert_array_equal(outs[0], outs[1])
 
+    def test_v2_reduce_impls_match(self, rng, monkeypatch):
+        """The factored-one-hot reduce ("mxu2") matches the dense
+        one-hot form ("mxu") at every rblock class, in f32 and bf16,
+        to f32-reassociation tolerance (the two dot shapes contract
+        the same per-row term sets in different orders);
+        EIG_KL_TPU_REDUCE_IMPL selects the kernel."""
+        from eig_kl_tpu.ops.spmv_pallas import build_plan_v2, spmv_pallas_2d
+
+        n, nnz = 9000, 36000
+        rows = np.sort(rng.integers(0, n, nnz).astype(np.int64))
+        cols = rng.integers(0, n, nnz).astype(np.int64)
+        w = rng.random(nnz).astype(np.float32)
+        x = rng.standard_normal(n).astype(np.float32)
+        y_ref = np.zeros(n, np.float32)
+        np.add.at(y_ref, rows, w * x[cols])
+        for rblock in (512, 2048):
+            plan = build_plan_v2(n, rows, cols, w, rblock=rblock)
+            P = plan.padded_nodes
+            x2d = jnp.zeros(P, jnp.float32).at[:n].set(x).reshape(P // 128, 128)
+            outs = {}
+            for impl in ("mxu", "mxu2"):
+                monkeypatch.setenv("EIG_KL_TPU_REDUCE_IMPL", impl)
+                y = np.asarray(spmv_pallas_2d(plan, x2d, interpret=True))
+                np.testing.assert_allclose(
+                    y.reshape(-1)[:n], y_ref, rtol=1e-4, atol=1e-4,
+                    err_msg=f"{impl} rblock={rblock}",
+                )
+                outs[impl] = y
+                outs[impl + "-bf16"] = np.asarray(
+                    spmv_pallas_2d(
+                        plan, x2d, interpret=True, inter_dtype=jnp.bfloat16
+                    )
+                )
+            np.testing.assert_allclose(
+                outs["mxu"], outs["mxu2"], rtol=1e-5, atol=1e-6
+            )
+            np.testing.assert_allclose(
+                outs["mxu-bf16"].astype(np.float32),
+                outs["mxu2-bf16"].astype(np.float32),
+                rtol=1e-5,
+                atol=1e-6,
+            )
+
     def test_v2_rblock_autocoarsens_at_low_occupancy(self, rng):
         """A sparse wide graph (bucket occupancy < 4 at rblock 512)
         auto-selects a coarser row block; a dense one keeps 512."""

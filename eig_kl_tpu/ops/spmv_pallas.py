@@ -86,10 +86,11 @@ def _reduce_impl_default() -> str:
 
     The dense one-hot's (128, CHUNK) lane compare + select is the whole
     matvec's compute floor (~2x128 element-ops per slot); "mxu2"
-    factors the lane one-hot as an (A, CHUNK) x (B, CHUNK) outer
-    product with A*B = 128, prebuilding f[(h,a), s] = eh*oh_a on the
-    VPU and contracting against oh_b on the MXU -- ~2A + 2B + H*A
-    element-ops per slot (H=4: ~80 vs ~264).
+    factors the lane one-hot over lane = a*B + b with A*B = 128: one
+    (H*A, CHUNK) compare selects e by the combined (h,a) key
+    (= rl >> log2(B)) and one MXU ``dot_general`` contracts against
+    the B-wide lane one-hot -- ~2*H*A + 2*B element-ops per slot
+    (H=4: ~96 vs ~272).
     EIG_KL_TPU_REDUCE_IMPL overrides (read per call, threaded as a
     static jit arg, so toggling mid-process recompiles)."""
     return os.environ.get("EIG_KL_TPU_REDUCE_IMPL", "mxu")
@@ -881,36 +882,36 @@ def _reduce_kernel_mxu2(
     element-ops per slot, which IS the matvec's compute floor on the
     VPU (the HBM traffic is ~10x below the bandwidth bound).  This
     form factors the 128-lane one-hot as an outer product over
-    lane = a*B + b with A*B = 128:
+    lane = a*B + b with A*B = 128.  The key identity: a slot's row
+    local rl = h*128 + a*B + b, so its combined (h, a) index is just
+    rl >> log2(B) -- ONE compare against a (H*A, CHUNK) iota selects e
+    into f[(h,a), s], and the s-contraction against the B-wide lane
+    one-hot is one (H*A, CHUNK) x (B, CHUNK)^T ``dot_general`` on the
+    MXU:
 
-        part[h, a*B+b] = sum_s eh[h,s] * oh_a[a,s] * oh_b[b,s]
-                       = sum_s f[(h,a), s] * oh_b[b,s]
+        part[h, a*B+b] = sum_s f[(h,a), s] * oh_b[b, s]
 
-    f = eh * oh_a is a VPU elementwise broadcast multiply over
-    (H*A, CHUNK) and the s-contraction against oh_b is one
-    (H*A, CHUNK) x (B, CHUNK)^T ``dot_general`` on the MXU.  Per slot
-    that is ~2A + 2B + 2H + H*A element-ops vs the dense form's
-    ~2*128 + 2H; A is chosen per H to minimize it (H=4: A=8 -> ~88 vs
-    ~272).  The (H*A, B) result's row-major flatten
-    [(h,a), b] = [h, (a,b)] IS the (H, 128) y-tile, so the reshape is
-    layout-free.  Padding slots carry rl = -1: (rl >> 7) = -1 matches
-    no h, so eh (hence f) is zero there and nothing reaches the dot."""
+    Per slot that is ~2*H*A + 2*B element-ops vs the dense form's
+    ~2*128 + 2*H (H=4, B=32: ~96 vs ~272).  The (H*A, B) result's
+    row-major flatten [(h,a), b] = [h, (a,b)] IS the (H, 128) y-tile,
+    so the reshape is layout-free.  Padding slots carry rl = -1: the
+    arithmetic shift keeps the key at -1, which matches no iota row,
+    so f is zero there and nothing reaches the dot."""
     c = pl.program_id(0)
     H = rblock // 128
-    # Minimize 2A + 2B + H*A subject to A*B = 128, A/B powers of two.
-    A = min(
-        (a for a in (2, 4, 8, 16) ),
-        key=lambda a: 2 * a + 2 * (128 // a) + H * a,
+    # Minimize 2*H*A + 2*B subject to A*B = 128, both powers of two.
+    B = min(
+        (b for b in (8, 16, 32, 64, 128)),
+        key=lambda b: 2 * H * (128 // b) + 2 * b,
     )
-    B = 128 // A
+    A = 128 // B
     shift_b = B.bit_length() - 1
 
     @pl.when(c == 0)
     def _():
         y_ref[:] = jnp.zeros_like(y_ref)
 
-    h_iota = jax.lax.broadcasted_iota(jnp.int32, (H, CHUNK), 0)
-    ha_iota = jax.lax.broadcasted_iota(jnp.int32, (H * A, CHUNK), 0) % A
+    ha_iota = jax.lax.broadcasted_iota(jnp.int32, (H * A, CHUNK), 0)
     b_iota = jax.lax.broadcasted_iota(jnp.int32, (B, CHUNK), 0)
 
     prec = (
@@ -924,18 +925,9 @@ def _reduce_kernel_mxu2(
         rl_blk = rl_ref[pl.ds(b, 1)][0].astype(jnp.int32)
         for j in range(8):
             rl_row = rl_blk[j : j + 1, :]                # (1, CHUNK)
-            e_row = e_blk[j : j + 1, :]
-            eh = jnp.where(
-                h_iota == (rl_row >> 7), e_row.astype(jnp.float32), 0.0
-            )                                            # (H, CHUNK)
-            lane = rl_row & 127
-            a_of_s = lane >> shift_b                     # (1, CHUNK)
-            # f[(h,a), s] = eh[h,s] * [a == a_of_s]: one select over
-            # (H*A, CHUNK) with eh rows repeated A-fold (row-major
-            # (H, A) flatten, so row (h*A + a) carries eh[h]).
-            eh_rep = jnp.repeat(eh, A, axis=0)           # (H*A, CHUNK)
-            f = jnp.where(ha_iota == a_of_s, eh_rep, 0.0)
-            oh_b = (b_iota == (lane & (B - 1))).astype(jnp.float32)
+            e_row = e_blk[j : j + 1, :].astype(jnp.float32)
+            f = jnp.where(ha_iota == (rl_row >> shift_b), e_row, 0.0)
+            oh_b = (b_iota == (rl_row & (B - 1))).astype(jnp.float32)
             part = jax.lax.dot_general(
                 f,
                 oh_b,

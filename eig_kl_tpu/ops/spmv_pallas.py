@@ -914,20 +914,24 @@ def _reduce_kernel_mxu2(
     ha_iota = jax.lax.broadcasted_iota(jnp.int32, (H * A, CHUNK), 0)
     b_iota = jax.lax.broadcasted_iota(jnp.int32, (B, CHUNK), 0)
 
-    prec = (
-        jax.lax.Precision.DEFAULT
-        if e_ref.dtype == jnp.bfloat16
-        else jax.lax.Precision.HIGHEST
-    )
+    # bf16 intermediates stay bf16 through the select and the dot
+    # (exact: the one-hot factors are 0/1 and e already carries bf16
+    # values; the dot accumulates in f32 via preferred_element_type).
+    if e_ref.dtype == jnp.bfloat16:
+        prec, fdt = jax.lax.Precision.DEFAULT, jnp.bfloat16
+    else:
+        prec, fdt = jax.lax.Precision.HIGHEST, jnp.float32
 
     def body(b, _):
         e_blk = e_ref[pl.ds(b, 1)][0]                    # (8, CHUNK)
         rl_blk = rl_ref[pl.ds(b, 1)][0].astype(jnp.int32)
         for j in range(8):
             rl_row = rl_blk[j : j + 1, :]                # (1, CHUNK)
-            e_row = e_blk[j : j + 1, :].astype(jnp.float32)
-            f = jnp.where(ha_iota == (rl_row >> shift_b), e_row, 0.0)
-            oh_b = (b_iota == (rl_row & (B - 1))).astype(jnp.float32)
+            e_row = e_blk[j : j + 1, :].astype(fdt)
+            f = jnp.where(
+                ha_iota == (rl_row >> shift_b), e_row, jnp.zeros((), fdt)
+            )
+            oh_b = (b_iota == (rl_row & (B - 1))).astype(fdt)
             part = jax.lax.dot_general(
                 f,
                 oh_b,

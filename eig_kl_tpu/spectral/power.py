@@ -32,6 +32,7 @@ import numpy as np
 
 from eig_kl_tpu.graph.csr import DeviceGraph
 from eig_kl_tpu.ops.partition import spmv
+from eig_kl_tpu.ops.select import upper_median
 from eig_kl_tpu.utils.config import SpectralConfig
 
 
@@ -211,7 +212,9 @@ def _power_core_impl(
 
         def split_of(x):
             v = from_state(x)
-            med = jnp.sort(v)[n // 2]  # "upper" convention, gKL2.cu:396-398
+            # "upper" convention, gKL2.cu:396-398; rank-select instead
+            # of a full sort -- this runs every check_interval steps.
+            med = upper_median(v, n)
             return med > v
 
         def sign_body(st: _SignState):
@@ -306,7 +309,7 @@ def _power_core_impl(
 
         def split_of_w(w):
             v = from_state(w) * dsinv
-            med = jnp.sort(v)[n // 2]
+            med = upper_median(v, n)
             return med > v
 
         def mom_body(st: _MomState):
@@ -338,7 +341,7 @@ def _power_core_impl(
             )
             beta = jnp.square(edge * mu) * 0.25
             v = wv * dsinv
-            med = jnp.sort(v)[n // 2]
+            med = upper_median(v, n)
             split = med > v
             d = jnp.sum(split != st.split).astype(jnp.int32)
             flips = jnp.minimum(d, n - d).astype(jnp.int32)
@@ -450,7 +453,7 @@ def _power_core_packed(
         inter_dtype=inter_dtype,
     )
     n = v.shape[0]
-    med = jnp.sort(v)[n // 2]
+    med = upper_median(v, n)
     extras = jnp.stack(
         [med.astype(v.dtype), lam.astype(v.dtype), iters.astype(v.dtype)]
     )

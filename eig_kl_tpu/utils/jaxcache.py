@@ -43,9 +43,16 @@ def ensure_responsive_backend(timeout: float | None = None) -> str:
     Returns the probed backend name, or ``"cpu-forced"`` /
     ``"skipped"`` / ``"env"``.
 
+    A transient outage (the axon service drops for a few minutes) must
+    not silently demote an unattended bench run to CPU, so the probe
+    retries before giving up: up to ``EIG_KL_TPU_PROBE_ATTEMPTS``
+    attempts (default 3) with a short pause between.  Worst case on a
+    dead backend is attempts * timeout before the CPU fallback.
+
     Environment knobs:
-      EIG_KL_TPU_BACKEND_PROBE=0     skip the probe entirely
-      EIG_KL_TPU_PROBE_TIMEOUT=SECS  probe timeout (default 120)
+      EIG_KL_TPU_BACKEND_PROBE=0      skip the probe entirely
+      EIG_KL_TPU_PROBE_TIMEOUT=SECS   per-attempt timeout (default 120)
+      EIG_KL_TPU_PROBE_ATTEMPTS=N     attempts before forcing CPU
     """
     global _probed
     if _probed is not None:
@@ -68,39 +75,52 @@ def ensure_responsive_backend(timeout: float | None = None) -> str:
     import sys
     import tempfile
 
-    # NOT subprocess.run(capture_output=True): a hanging plugin can
-    # spawn helper processes that inherit the pipe, so after the
-    # timeout-kill the parent still blocks on pipe EOF.  Write stdout
-    # to a file and kill the whole process group instead.
-    backend = ""
-    try:
-        with tempfile.TemporaryFile(mode="w+") as out_f:
-            proc = subprocess.Popen(
-                [
-                    sys.executable,
-                    "-c",
-                    "import jax; print(jax.default_backend())",
-                ],
-                stdout=out_f,
-                stderr=subprocess.DEVNULL,
-                start_new_session=True,
-            )
-            try:
-                rc = proc.wait(timeout=timeout)
-            except subprocess.TimeoutExpired:
-                rc = -1
+    import time
+
+    attempts = max(int(os.environ.get("EIG_KL_TPU_PROBE_ATTEMPTS", "3")), 1)
+
+    def probe_once() -> str:
+        # NOT subprocess.run(capture_output=True): a hanging plugin can
+        # spawn helper processes that inherit the pipe, so after the
+        # timeout-kill the parent still blocks on pipe EOF.  Write
+        # stdout to a file and kill the whole process group instead.
+        try:
+            with tempfile.TemporaryFile(mode="w+") as out_f:
+                proc = subprocess.Popen(
+                    [
+                        sys.executable,
+                        "-c",
+                        "import jax; print(jax.default_backend())",
+                    ],
+                    stdout=out_f,
+                    stderr=subprocess.DEVNULL,
+                    start_new_session=True,
+                )
                 try:
-                    os.killpg(os.getpgid(proc.pid), signal.SIGKILL)
-                except (ProcessLookupError, PermissionError):
-                    proc.kill()
-                proc.wait()
-            if rc == 0:
-                out_f.seek(0)
-                text = out_f.read().strip()
-                if text:
-                    backend = text.splitlines()[-1]
-    except OSError:
-        pass
+                    rc = proc.wait(timeout=timeout)
+                except subprocess.TimeoutExpired:
+                    rc = -1
+                    try:
+                        os.killpg(os.getpgid(proc.pid), signal.SIGKILL)
+                    except (ProcessLookupError, PermissionError):
+                        proc.kill()
+                    proc.wait()
+                if rc == 0:
+                    out_f.seek(0)
+                    text = out_f.read().strip()
+                    if text:
+                        return text.splitlines()[-1]
+        except OSError:
+            pass
+        return ""
+
+    backend = ""
+    for attempt in range(attempts):
+        backend = probe_once()
+        if backend:
+            break
+        if attempt + 1 < attempts:
+            time.sleep(min(20.0, timeout / 4))
     if backend:
         _probed = backend
         return _probed

@@ -21,8 +21,22 @@ import sys
 import time
 
 
+def _add_platform(p: argparse.ArgumentParser) -> None:
+    p.add_argument(
+        "--platform",
+        choices=["auto", "tpu", "cpu"],
+        default="auto",
+        help="JAX backend: 'auto' (default) runs small circuits on the "
+        "in-process CPU engine — a cold TPU process pays a remote "
+        "compile at first execution that dwarfs compute below ~16K "
+        "nodes (fract -EIG: 2.6 s CPU vs 162.7 s cold TPU, identical "
+        "cut).  'tpu'/'cpu' force the backend",
+    )
+
+
 def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("input", help="path to .hgr circuit")
+    _add_platform(p)
     p.add_argument(
         "-EIG",
         dest="eig_init",
@@ -68,6 +82,7 @@ def build_parser() -> argparse.ArgumentParser:
 
     p_eig = sub.add_parser("eig", help="spectral (Fiedler) partition, writes pre_saved_EIG/")
     p_eig.add_argument("input")
+    _add_platform(p_eig)
     p_eig.add_argument(
         "--solver", choices=["lanczos", "power", "lobpcg"], default="lanczos"
     )
@@ -213,6 +228,81 @@ def cmd_eig(args) -> int:
     print(f"balance  = {left} / {right}")
     print(f"Execution time: {time.perf_counter() - t0:.3f} seconds")
     print(f"Results written to: {out}")
+    return 0
+
+
+def _numpy_path_eligible(args, fused: bool) -> bool:
+    """Can this invocation run on the jax-free NumPy engine?
+
+    Everything the plain ``kl`` subcommand supports qualifies (random /
+    -EIG / shuffled-ties init, passes, kicks, sequential multi-start);
+    ``fused`` (needs the spectral solver) and ``--sharded`` (needs a
+    device mesh) do not.
+    """
+    if fused or getattr(args, "sharded", False):
+        return False
+    if os.environ.get("EIG_KL_TPU_CPU_ENGINE", "").lower() == "xla":
+        return False
+    return True
+
+
+def _run_kl_numpy(args) -> int:
+    """The zero-compile CPU path: no jax import anywhere.
+
+    The reference binary starts computing the moment it launches
+    (cKL.cpp:424-468); this path is how we match that — plain NumPy,
+    no backend probe, no compile.  Invoked for cpu-routed ``kl`` runs
+    (bin/eigkl additionally skips the axon sitecustomize jax boot by
+    running under ``python -S``).
+    """
+    import numpy as np
+
+    from eig_kl_tpu.io.eigfile import eig_out_path
+    from eig_kl_tpu.io.hgr import read_hgr
+    from eig_kl_tpu.models.np_pipeline import kl_partition_np
+    from eig_kl_tpu.utils.config import KLConfig
+    from eig_kl_tpu.utils import logging as rlog
+
+    t0 = time.perf_counter()
+    hg = read_hgr(args.input)
+    print(f"Circuit: {hg.num_nets} nets, {hg.num_nodes} nodes, {hg.num_pins} pins")
+    kl_config = KLConfig(
+        gain_eps=getattr(args, "gain_eps", 0.0),
+        passes=getattr(args, "passes", 1),
+        kicks=getattr(args, "kicks", 0),
+        kick_frac=getattr(args, "kick_frac", 0.15),
+    )
+    run = kl_partition_np(
+        hg,
+        init=eig_out_path(args.input) if args.eig_init else None,
+        kl_config=kl_config,
+        seed=args.seed,
+        dtype=np.float64 if args.f64 else np.float32,
+        shuffled_ties=getattr(args, "shuffled_ties", False),
+        starts=getattr(args, "starts", 1),
+        perturb=getattr(args, "perturb", 0.05),
+    )
+    runtime = time.perf_counter() - t0
+    out = rlog.kl_results_path(args.input, args.eig_init)
+    rlog.write_kl_trajectory(out, run.kl)
+    if run.start_cuts is not None:
+        print(
+            "Multi-start best cuts: "
+            f"{np.sort(np.asarray(run.start_cuts))[:8].round(2).tolist()} ..."
+        )
+    if run.nnz is not None:
+        print(rlog.format_matrix_stats(hg.num_nodes, run.nnz))
+    if getattr(args, "table", False):
+        print(
+            rlog.format_iteration_table(
+                run.kl, kl_seconds=run.timings.get("kl.refine")
+            )
+        )
+    print(rlog.format_final_results(run.kl, runtime))
+    for name, secs in sorted(run.timings.items()):
+        print(f"  [{name}] {secs:.3f}s")
+    print("Engine: numpy (zero-compile CPU path)")
+    print(f"Trajectory written to: {out}")
     return 0
 
 
@@ -445,8 +535,62 @@ def cmd_info() -> int:
     return 0
 
 
+def _reexec_with_site(raw_argv: list[str]) -> None:
+    """Replace this ``python -S`` process with a full-site interpreter.
+
+    bin/eigkl starts without site processing (skipping the ~9 s axon
+    sitecustomize jax boot) on the bet that the run routes to CPU; when
+    it routes to TPU instead, the TPU plugin is required and only
+    sitecustomize registers it — so exec the normal interpreter, which
+    pays the boot the TPU run needed anyway.
+    """
+    repo = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    env = dict(os.environ)
+    parts = [repo] + ([env["PYTHONPATH"]] if env.get("PYTHONPATH") else [])
+    env["PYTHONPATH"] = ":".join(parts)
+    os.execve(
+        sys.executable,
+        [sys.executable, "-m", "eig_kl_tpu"] + raw_argv,
+        env,
+    )
+
+
 def main(argv: list[str] | None = None) -> int:
-    args = build_parser().parse_args(argv)
+    raw_argv = list(argv) if argv is not None else sys.argv[1:]
+    args = build_parser().parse_args(raw_argv)
+
+    route = None
+    if getattr(args, "platform", None):
+        # Must run before any JAX device use (enable_persistent_cache
+        # initializes the backend to decide whether to cache).
+        from eig_kl_tpu.io.hgr import peek_hgr_header
+        from eig_kl_tpu.utils.jaxcache import route_platform
+
+        try:
+            _, num_nodes = peek_hgr_header(args.input)
+        except (OSError, ValueError, IndexError):
+            num_nodes = None  # read_hgr will surface the real error
+        route = route_platform(args.platform, num_nodes)
+        if route.startswith("cpu"):
+            print(f"Platform: cpu ({route})")
+    on_cpu = route in ("cpu-requested", "cpu-auto")
+    if sys.flags.no_site and args.command in ("eig", "kl", "fused", "info") and not on_cpu:
+        _reexec_with_site(raw_argv)  # does not return
+
+    try:
+        if args.command == "kl" and on_cpu and _numpy_path_eligible(args, False):
+            # Zero-compile NumPy path: returns without ever importing
+            # jax (matches the reference's instant start, cKL.cpp:424).
+            return _run_kl_numpy(args)
+    except FileNotFoundError as e:
+        print(f"Error: file not found: {e.filename}", file=sys.stderr)
+        return 1
+    except (ValueError, OSError) as e:
+        print(f"Error: {e}", file=sys.stderr)
+        return 1
+
     from eig_kl_tpu.utils.jaxcache import enable_persistent_cache
 
     enable_persistent_cache()

@@ -27,7 +27,13 @@ import functools
 from typing import NamedTuple
 
 import numpy as np
-import jax.numpy as jnp
+
+# jax is imported lazily inside the device-facing methods: the
+# host-side ``Graph`` half of this module is pure NumPy and is all the
+# no-jax CPU fast path needs (bin/eigkl runs it under ``python -S``,
+# skipping the ~9 s axon-sitecustomize jax boot).  An eager module-level
+# import would drag jax into every entry point via the package
+# __init__ re-exports.
 
 
 def _round_up(x: int, m: int) -> int:
@@ -43,6 +49,7 @@ def _ell_scatter_fn(n, dmax, dtype_name):
     (persisted by the compilation cache) instead of ~10 eager dispatch
     compiles."""
     import jax
+    import jax.numpy as jnp
 
     @jax.jit
     def build(flat, idx, w):
@@ -184,7 +191,7 @@ class Graph:
         ell_w[row, pos] = self.data
         return ell_idx, ell_w
 
-    def ell_on_device(self, pad_multiple: int = 8, dtype=jnp.float32):
+    def ell_on_device(self, pad_multiple: int = 8, dtype="float32"):
         """Build the padded ELL *on device* from CSR-sized uploads.
 
         For degree-skewed graphs the padded ELL is much larger than the
@@ -195,6 +202,8 @@ class Graph:
         round-2 eager version cost ~54 s of one-time compiles at 200K
         nodes).  Produces bit-identical arrays to :meth:`to_ell`.
         """
+        import jax.numpy as jnp
+
         n = self.num_nodes
         deg = self.degrees
         dmax = max(_round_up(self.max_degree, pad_multiple), pad_multiple)
@@ -212,13 +221,15 @@ class Graph:
         )
 
     def to_device(
-        self, pad_multiple: int = 8, dtype=jnp.float32, with_plan: bool = False
+        self, pad_multiple: int = 8, dtype="float32", with_plan: bool = False
     ) -> "DeviceGraph":
         """Build the device graph.  ``with_plan=True`` attaches the
         chunk-planned Pallas SpMV routing (used automatically by
         :func:`eig_kl_tpu.ops.partition.spmv` for f32 matvecs on TPU,
         where XLA's scalar-loop gather is ~1000x off HBM speed)."""
         import os
+
+        import jax.numpy as jnp
 
         n = self.num_nodes
         dmax = max(_round_up(self.max_degree, pad_multiple), pad_multiple)

@@ -106,6 +106,22 @@ def _parse_tokens(text: str) -> Hypergraph:
     )
 
 
+def peek_hgr_header(path: str | os.PathLike) -> tuple[int, int]:
+    """Read ONLY the header line: ``(num_nets, num_nodes)``.
+
+    Cheap enough (one short read, no parse of the pin lines) to run
+    before JAX initializes a backend — the CLI's platform router uses
+    the node count to decide whether a circuit is too small to be worth
+    a TPU compile round-trip (see :func:`eig_kl_tpu.utils.jaxcache.route_platform`).
+    """
+    with open(os.fspath(path), "r") as f:
+        for line in f:
+            fields = line.split()
+            if fields:
+                return int(fields[0]), int(fields[1])
+    raise ValueError(f"empty .hgr file: {path}")
+
+
 def read_hgr(path: str | os.PathLike, *, use_native: bool | None = None) -> Hypergraph:
     """Read a `.hgr` file.
 

@@ -35,8 +35,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from eig_kl_tpu.graph.csr import DeviceGraph
+from eig_kl_tpu.kl.result import KLResult, best_iteration, replay_swaps
 from eig_kl_tpu.ops import partition as P
 from eig_kl_tpu.utils.config import KLConfig
+
+__all__ = ["KLResult", "kl_step", "refine", "best_iteration", "replay_swaps"]
 
 
 class _LoopState(NamedTuple):
@@ -68,40 +71,6 @@ class _KLOutput(NamedTuple):
     log_gain: jnp.ndarray
     log_a: jnp.ndarray
     log_b: jnp.ndarray
-
-
-@dataclasses.dataclass(frozen=True)
-class KLResult:
-    """Host-side result of a KL refinement run.
-
-    ``final_cut`` is the incrementally-tracked value; ``verified_cut``
-    is the from-scratch recomputation at termination -- the invariant
-    oracle the reference checks at gKL.cu:524-530.  ``best_sides`` is
-    the partition at the minimum cut seen (the reference only tracks the
-    number, cKL.cpp:363; we keep the argmin state too).
-    """
-
-    sides: np.ndarray
-    best_sides: np.ndarray
-    initial_cut: float
-    final_cut: float
-    best_cut: float
-    verified_cut: float
-    iterations: int
-    cut_trajectory: np.ndarray
-    gain_trajectory: np.ndarray
-
-    @property
-    def drift(self) -> float:
-        """|incremental - from-scratch| cut discrepancy at termination."""
-        return abs(self.final_cut - self.verified_cut)
-
-    @property
-    def improvement(self) -> float:
-        """Fractional improvement of best cut over initial cut."""
-        if self.initial_cut == 0:
-            return 0.0
-        return 1.0 - self.best_cut / self.initial_cut
 
 
 def kl_step(g: DeviceGraph, state: _LoopState, gain_eps: float, terminate_limit: int) -> _LoopState:
@@ -275,23 +244,3 @@ def refine(
         cut_trajectory=np.asarray(out.log_cut)[: iterations + 1],
         gain_trajectory=np.asarray(out.log_gain)[: iterations + 1],
     )
-
-
-def best_iteration(log_cut: np.ndarray, iterations: int) -> int:
-    """Index of the minimum cut along the trajectory (first minimum)."""
-    return int(np.argmin(log_cut[: iterations + 1]))
-
-
-def replay_swaps(
-    sides: np.ndarray, log_a: np.ndarray, log_b: np.ndarray, upto: int
-) -> np.ndarray:
-    """Reconstruct the partition after the first `upto` swaps.
-
-    The loop logs the swapped pair per iteration (2 int32 scalars)
-    instead of snapshotting the whole best partition on device (which
-    would cost two O(n) HBM passes per swap); the best state is replayed
-    here in O(upto) on host."""
-    out = np.asarray(sides, dtype=np.int8).copy()
-    out[log_a[1 : upto + 1]] = 1
-    out[log_b[1 : upto + 1]] = 0
-    return out

@@ -31,7 +31,7 @@ from typing import Callable, Sequence
 
 import numpy as np
 
-from eig_kl_tpu.kl.engine import KLResult
+from eig_kl_tpu.kl.result import KLResult
 from eig_kl_tpu.utils.config import KLConfig
 
 #: Pass ceiling when ``KLConfig.passes == 0`` (run until converged).

@@ -30,6 +30,7 @@ from eig_kl_tpu.kl.init import (
     reference_shuffle_init,
     split_from_eig,
 )
+from eig_kl_tpu.models.run import PartitionRunData as PartitionRun
 from eig_kl_tpu.spectral.partition import eig_partition
 from eig_kl_tpu.utils.config import KLConfig, SpectralConfig
 from eig_kl_tpu.utils.tracing import Tracer
@@ -75,17 +76,8 @@ def _refine_dispatch(
     return refine_multipass(backend, sides, config)
 
 
-@dataclasses.dataclass
-class PartitionRun:
-    """Result bundle of an end-to-end run."""
-
-    circuit: str
-    eig: EigResult | None
-    kl: KLResult | None
-    timings: dict[str, float]
-    #: adjacency nonzeros (both directions), for the matrix-statistics
-    #: block (cKL.cpp:134-146); None when no graph was built.
-    nnz: int | None = None
+# PartitionRun is the jax-free PartitionRunData from models/run.py
+# (imported above) — the NumPy fast path constructs the same type.
 
 
 def spectral_partition(

@@ -24,6 +24,74 @@ import os
 
 _enabled = False
 _probed: str | None = None
+_routed: str | None = None
+
+
+def route_platform(requested: str, num_nodes: int | None = None) -> str:
+    """Choose the JAX platform for this process BEFORE backend init.
+
+    The reference binary starts computing instantly (cKL.cpp:424-468);
+    a TPU process pays a remote-compile round trip at first execution
+    that the persistent cache cannot hide (measured round 3: fract -EIG
+    cold 162.7 s on TPU vs 2.56 s on the local CPU engine, identical
+    21.50 cut).  For small circuits, compile time dwarfs compute, so
+    ``auto`` routes them to the in-process CPU backend via the config
+    API (the env-var route is intercepted by the axon plugin — see
+    tests/conftest.py:23).
+
+    Args:
+      requested: "auto" | "cpu" | "tpu".
+      num_nodes: circuit node count (header peek) — used by "auto".
+
+    Returns the route taken: "cpu-requested", "cpu-auto", "tpu", or
+    "default".  Must be called before any JAX device use; calling it
+    after backend init has no effect on the backend (JAX ignores the
+    config change) and the first route sticks for the process.
+
+    Environment knobs:
+      EIG_KL_TPU_AUTO_CPU_MAX_NODES  auto routes circuits with at most
+                                     this many nodes to CPU (default
+                                     16384; measured crossover — see
+                                     benchmarks/diag_platform_crossover.py)
+    """
+    global _routed
+    if _routed is not None:
+        return _routed
+    import sys
+
+    def force_cpu() -> None:
+        if "jax" in sys.modules:
+            # Normal interpreter: the axon sitecustomize has already
+            # imported jax (and may intercept JAX_PLATFORMS), so the
+            # config API — which wins over the plugin — is required.
+            import jax
+
+            try:
+                jax.config.update("jax_platforms", "cpu")
+            except Exception:
+                pass
+        else:
+            # No-site process (bin/eigkl under python -S): jax is not
+            # loaded and no plugin can intercept the env route.  Avoid
+            # importing jax here — the NumPy fast path never needs it
+            # (importing it costs ~5.4 s).
+            os.environ["JAX_PLATFORMS"] = "cpu"
+
+    if requested == "cpu":
+        force_cpu()
+        _routed = "cpu-requested"
+    elif requested == "auto":
+        max_nodes = int(
+            os.environ.get("EIG_KL_TPU_AUTO_CPU_MAX_NODES", "16384")
+        )
+        if num_nodes is not None and num_nodes <= max_nodes:
+            force_cpu()
+            _routed = "cpu-auto"
+        else:
+            _routed = "default"
+    else:
+        _routed = "tpu" if requested == "tpu" else "default"
+    return _routed
 
 
 def ensure_responsive_backend(timeout: float | None = None) -> str:
@@ -43,16 +111,21 @@ def ensure_responsive_backend(timeout: float | None = None) -> str:
     Returns the probed backend name, or ``"cpu-forced"`` /
     ``"skipped"`` / ``"env"``.
 
-    A transient outage (the axon service drops for a few minutes) must
-    not silently demote an unattended bench run to CPU, so the probe
-    retries before giving up: up to ``EIG_KL_TPU_PROBE_ATTEMPTS``
-    attempts (default 3) with a short pause between.  Worst case on a
-    dead backend is attempts * timeout before the CPU fallback.
+    The retries cover *hang/timeout* outages only: a probe that quickly
+    SUCCEEDS returning "cpu" (e.g. the plugin silently de-registered by
+    a PYTHONPATH override — a known gotcha) is accepted on the first
+    attempt.  To catch that failure mode too, set
+    ``EIG_KL_TPU_EXPECT_BACKEND=tpu``: a successful probe of any other
+    backend then prints a loud stderr warning (it does not abort — an
+    unattended bench still completes, with the honest ``"backend"``
+    field recording what actually ran).
 
     Environment knobs:
       EIG_KL_TPU_BACKEND_PROBE=0      skip the probe entirely
       EIG_KL_TPU_PROBE_TIMEOUT=SECS   per-attempt timeout (default 120)
       EIG_KL_TPU_PROBE_ATTEMPTS=N     attempts before forcing CPU
+      EIG_KL_TPU_EXPECT_BACKEND=NAME  warn if the probe succeeds on a
+                                      different backend
     """
     global _probed
     if _probed is not None:
@@ -122,6 +195,18 @@ def ensure_responsive_backend(timeout: float | None = None) -> str:
         if attempt + 1 < attempts:
             time.sleep(min(20.0, timeout / 4))
     if backend:
+        expected = os.environ.get("EIG_KL_TPU_EXPECT_BACKEND", "").strip()
+        if expected and backend != expected:
+            import sys as _sys
+
+            print(
+                f"WARNING: probed JAX backend is '{backend}' but "
+                f"EIG_KL_TPU_EXPECT_BACKEND={expected}; the plugin may "
+                "have been dropped from sys.path (e.g. a PYTHONPATH "
+                "override — append, don't replace). Proceeding on "
+                f"'{backend}'.",
+                file=_sys.stderr,
+            )
         _probed = backend
         return _probed
     import jax

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import os
 
-from eig_kl_tpu.kl.engine import KLResult
+from eig_kl_tpu.kl.result import KLResult
 
 
 def kl_results_path(

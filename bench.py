@@ -54,6 +54,7 @@ def main() -> int:
     from eig_kl_tpu.utils.jaxcache import (
         enable_persistent_cache,
         ensure_responsive_backend,
+        track_compiles,
     )
 
     # An unreachable TPU plugin HANGS backend init (it does not raise);
@@ -63,6 +64,7 @@ def main() -> int:
     if probe == "cpu-forced":
         log("backend probe timed out: TPU unreachable, falling back to CPU")
     cache_dir = enable_persistent_cache()
+    compile_stats = track_compiles()
 
     import jax
     import jax.numpy as jnp
@@ -195,6 +197,14 @@ def main() -> int:
                 # the harness falls back to CPU (utils/jaxcache.py) and
                 # these numbers must not read as TPU results.
                 "backend": jax.default_backend(),
+                # Program-set size: distinct jitted programs this run
+                # asked the backend for (the reference compiles ZERO at
+                # run time — every program here is cold-start latency;
+                # VERDICT r3 next #2).  programs_compiled counts actual
+                # backend compiles (0 on a fully cache-warm process).
+                "programs_requested": compile_stats.requests,
+                "programs_compiled": compile_stats.compiles,
+                "compile_seconds": round(compile_stats.seconds, 2),
             }
         )
     )

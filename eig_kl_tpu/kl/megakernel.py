@@ -770,6 +770,98 @@ def _batch_init(plan, wsum, s_dev, *, n, P, interp):
     return jax.lax.map(one, s_dev)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "num_nodes",
+        "P",
+        "max_iters",
+        "terminate_limit",
+        "gain_eps",
+        "interpret",
+        "batched",
+    ),
+)
+def _mega_full(
+    plan,
+    wsum,
+    meta_idx,
+    meta_w,
+    sf_dev,   # (S, R, 128)
+    caps,     # int32[S]
+    *,
+    num_nodes: int,
+    P: int,
+    max_iters: int,
+    terminate_limit: int,
+    gain_eps: float,
+    interpret: bool,
+    batched: bool,
+):
+    """Initial ``A @ s``/cut + the refinement kernel + device-side
+    finalization as ONE jitted program.
+
+    The split form (``_batch_init`` -> ``_run``/``_run_batched`` ->
+    ``_finalize_batch``) costs three distinct executables per process —
+    on the axon plugin three *remote* compiles at first execution, the
+    dominant cold-start term (VERDICT r3 next #2; the reference
+    compiles nothing at run time, Makefile:52-71).  Tracing the inner
+    jits inline here compiles the whole refinement as one program with
+    identical numerics; the split entry points remain for the
+    refresh-interval path, which must interleave host replay."""
+    S = sf_dev.shape[0]
+    a_s, cut0 = _batch_init(
+        plan, wsum, sf_dev, n=num_nodes, P=P, interp=interpret
+    )
+    fparams = jnp.stack([cut0, cut0], axis=0)
+    iparams = jnp.stack([caps, jnp.zeros_like(caps)], axis=0)
+    if batched:
+        _sf, log_cut, log_gain, log_a, log_b, scalars = _run_batched(
+            meta_idx,
+            meta_w,
+            sf_dev,
+            a_s,
+            fparams,
+            iparams,
+            num_nodes=num_nodes,
+            max_iters=max_iters,
+            terminate_limit=terminate_limit,
+            gain_eps=gain_eps,
+            interpret=interpret,
+        )
+        lc3, la3, lb3 = (
+            x.reshape(S, -1, 128) for x in (log_cut, log_a, log_b)
+        )
+    else:
+        _sf, log_cut, log_gain, log_a, log_b, scalars = _run(
+            meta_idx,
+            meta_w,
+            sf_dev[0],
+            a_s[0],
+            fparams.T,
+            iparams.T,
+            num_nodes=num_nodes,
+            max_iters=max_iters,
+            terminate_limit=terminate_limit,
+            gain_eps=gain_eps,
+            interpret=interpret,
+        )
+        lc3, la3, lb3 = log_cut[None], log_a[None], log_b[None]
+    ver, _best_it, best_sides, fin_sides = _finalize_batch(
+        plan,
+        wsum,
+        sf_dev,
+        lc3,
+        la3,
+        lb3,
+        scalars,
+        n=num_nodes,
+        P=P,
+        interp=interpret,
+    )
+    return scalars, lc3, log_gain.reshape(S, -1), ver, best_sides, fin_sides
+
+
 def refine_mega_batch(
     mg: MegaGraph,
     sides_batch: np.ndarray,
@@ -831,46 +923,28 @@ def refine_mega_batch(
     sf_host[:, :n] = 1.0 - 2.0 * sides_batch.astype(np.float32)
     sf_dev = jnp.asarray(sf_host.reshape(S, R, 128))
 
-    # Batched initial A @ s + cut through the planned SpMV (module-level
-    # jit, NOT a local closure: a per-call closure would be a fresh jit
-    # function every time and recompile ~4 s on each invocation).
+    # Initial A @ s + cut, the kernel, and device-side finalization run
+    # as ONE program (module-level jit, NOT a local closure: a per-call
+    # closure would be a fresh jit function every time and recompile
+    # ~4 s on each invocation), then ONE device_get for every start's
+    # whole result (swap logs and state arrays never cross the tunnel).
     wsum = mg.weighted_degrees.sum()
-    a_s, cut0 = _batch_init(
-        mg.spmv_plan, wsum, sf_dev, n=n, P=P, interp=interpret
-    )
-    fparams = jnp.stack([cut0, cut0], axis=0)  # (2, S): [cut0; best0]
-    iparams = jnp.asarray(
-        [caps, [0] * S], jnp.int32
-    )  # (2, S): [cap; term0]
-
-    outs = _run_batched(
-        mg.meta_indices,
-        mg.meta_weights,
-        sf_dev,
-        a_s,
-        fparams,
-        iparams,
-        num_nodes=n,
-        max_iters=max_iters,
-        terminate_limit=terminate_limit,
-        gain_eps=config.gain_eps,
-        interpret=interpret,
-    )
-    _sf_out, log_cut_d, log_gain_d, log_a_d, log_b_d, scalars_d = outs
-    # Device-side verification + both-partition replay, then ONE
-    # device_get for every start's whole result (swap logs and state
-    # arrays never cross the tunnel).
-    ver_d, _best_it_d, best_sides_d, fin_sides_d = _finalize_batch(
-        mg.spmv_plan,
-        wsum,
-        sf_dev,
-        log_cut_d,
-        log_a_d,
-        log_b_d,
-        scalars_d,
-        n=n,
-        P=P,
-        interp=interpret,
+    scalars_d, log_cut_d, log_gain_d, ver_d, best_sides_d, fin_sides_d = (
+        _mega_full(
+            mg.spmv_plan,
+            wsum,
+            mg.meta_indices,
+            mg.meta_weights,
+            sf_dev,
+            jnp.asarray(caps, jnp.int32),
+            num_nodes=n,
+            P=P,
+            max_iters=max_iters,
+            terminate_limit=terminate_limit,
+            gain_eps=config.gain_eps,
+            interpret=interpret,
+            batched=True,
+        )
     )
     scalars, log_cut, log_gain, verified, best_sides_h, fin_sides_h = (
         jax.device_get(
@@ -1110,46 +1184,29 @@ def refine_mega(
 
     wsum = mg.weighted_degrees.sum()
 
-    def fresh_as_cut(s2d):
-        """From-scratch A @ s (padded) and cut via the planned SpMV."""
-        s_flat = s2d.reshape(-1)[:n]
-        a_s_n = spmv_pallas(mg.spmv_plan, s_flat, interpret=interpret)
-        a_s2d = jnp.zeros(P, jnp.float32).at[:n].set(a_s_n).reshape(R, 128)
-        cut = 0.25 * (wsum - jnp.vdot(s_flat, a_s_n)).astype(jnp.float32)
-        return a_s2d, cut
-
-    # One kernel launch, device-side finalization, ONE device_get for
-    # the whole result (see _finalize_batch).  With every real node
-    # initially free, sf0 == the sign vector, so it also seeds the
-    # initial A @ s / cut.
+    # One program: initial A @ s / cut (with every real node initially
+    # free, sf0 == the sign vector, so it seeds both), the kernel
+    # launch, and device-side finalization — then ONE device_get for
+    # the whole result (see _mega_full / _finalize_batch).
     sf_host = np.zeros(P, dtype=np.float32)
     sf_host[:n] = 1.0 - 2.0 * sides.astype(np.float32)
-    sf_dev = jnp.asarray(sf_host.reshape(R, 128))
-    a_s, cut0_dev = fresh_as_cut(sf_dev)
-    _sf_out, log_cut, log_gain, log_a, log_b, scalars = _run(
-        mg.meta_indices,
-        mg.meta_weights,
-        sf_dev,
-        a_s,
-        jnp.stack([cut0_dev, cut0_dev]).reshape(1, 2),
-        jnp.asarray([[true_cap, 0]], jnp.int32),
-        num_nodes=n,
-        max_iters=max_iters,
-        terminate_limit=terminate_limit,
-        gain_eps=config.gain_eps,
-        interpret=interpret,
-    )
-    ver_d, _bi_d, best_sides_d, fin_sides_d = _finalize_batch(
-        mg.spmv_plan,
-        wsum,
-        sf_dev[None],
-        log_cut[None],
-        log_a[None],
-        log_b[None],
-        scalars,
-        n=n,
-        P=P,
-        interp=interpret,
+    sf_dev = jnp.asarray(sf_host.reshape(1, R, 128))
+    scalars, log_cut, log_gain, ver_d, best_sides_d, fin_sides_d = (
+        _mega_full(
+            mg.spmv_plan,
+            wsum,
+            mg.meta_indices,
+            mg.meta_weights,
+            sf_dev,
+            jnp.asarray([true_cap], jnp.int32),
+            num_nodes=n,
+            P=P,
+            max_iters=max_iters,
+            terminate_limit=terminate_limit,
+            gain_eps=config.gain_eps,
+            interpret=interpret,
+            batched=False,
+        )
     )
     sc, lc, lg, verified, best_sides, fin_sides = jax.device_get(
         (scalars, log_cut, log_gain, ver_d, best_sides_d, fin_sides_d)

@@ -222,6 +222,55 @@ def ensure_responsive_backend(timeout: float | None = None) -> str:
     return _probed
 
 
+class CompileStats:
+    """Live counters for XLA compilation activity in this process.
+
+    The reference ships four precompiled binaries and compiles nothing
+    at run time (Makefile:52-71); every distinct jitted program WE ask
+    the backend for is cold-start latency — on the axon TPU plugin a
+    *remote* compile per program.  Tracking the count makes program-set
+    regressions mechanical (VERDICT r3 next #2): bench.py prints it on
+    every run.
+
+    Attributes:
+      requests: compile-cache lookups == distinct programs the process
+        asked for (fires whether the persistent cache hits or misses).
+      compiles: programs actually compiled by the backend this process
+        (cache misses).
+      seconds: total backend-compile wall seconds (lazy remote compiles
+        on the axon plugin are NOT included — those are paid at first
+        execution and show up in warm-up wall time instead).
+    """
+
+    def __init__(self) -> None:
+        self.requests = 0
+        self.compiles = 0
+        self.seconds = 0.0
+
+
+def track_compiles() -> CompileStats:
+    """Register jax monitoring listeners; returns the live counter.
+
+    Call before the first compilation.  Safe to call multiple times
+    (each call returns an independent counter)."""
+    from jax._src import monitoring
+
+    stats = CompileStats()
+
+    def on_event(name: str, **kw) -> None:
+        if name == "/jax/compilation_cache/compile_requests_use_cache":
+            stats.requests += 1
+
+    def on_duration(name: str, secs: float, **kw) -> None:
+        if name == "/jax/core/compile/backend_compile_duration":
+            stats.compiles += 1
+            stats.seconds += secs
+
+    monitoring.register_event_listener(on_event)
+    monitoring.register_event_duration_secs_listener(on_duration)
+    return stats
+
+
 def enable_persistent_cache() -> str | None:
     """Turn on JAX's on-disk compilation cache.  Returns the cache dir
     (None if disabled via env)."""

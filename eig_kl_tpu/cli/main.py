@@ -169,7 +169,8 @@ def build_parser() -> argparse.ArgumentParser:
         "solver (shift-inverted iteration, gKL2.cu:65-89); 'lanczos' "
         "matches the cEIG/Spectra init instead — it wins on tiny "
         "circuits (fract: 21.50 vs power's 29.17, PARITY.md). "
-        "'auto' (default) picks lanczos at <=2048 nodes, power above",
+        "'auto' (default) picks lanczos at <=256 nodes, power above "
+        "(measured crossover, benchmarks/diag_solver_sweep.py)",
     )
     p_fused.add_argument(
         "--power-iters",

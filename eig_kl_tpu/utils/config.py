@@ -82,6 +82,12 @@ class SpectralConfig:
         every real circuit, but on the 149-node fract the Lanczos
         init is the one that ties the reference's 21.50, PARITY.md).
         Resolve with :func:`resolve_solver` before dispatching.
+        The 256 threshold comes from the round-4 crossover sweep
+        (benchmarks/diag_solver_sweep.py, downstream single-shot cut
+        for both inits): lanczos wins only on fract (n=149, +10.4);
+        power is already better at n≈504 (-5.2 mean over 5 generated
+        circuits), n≈2019 (-18.5), n≈8076 (-200.9), and on every
+        real circuit (ibm01 -127.5, industry2 -198.5, ibm10 -1228.7).
       num_lanczos: Krylov subspace size, min(100, n//2) if None
         (cEIG.cpp:195's ncv).
       max_iterations: power-iteration cap (gKL2.cu:26) / Lanczos restarts.
@@ -139,7 +145,7 @@ class SpectralConfig:
     stable_checks: int = 2
     inter_dtype: str = "bfloat16"
     host_refine: bool | None = None
-    auto_lanczos_max_nodes: int = 2048
+    auto_lanczos_max_nodes: int = 256
 
 
 def resolve_solver(config: SpectralConfig, num_nodes: int) -> SpectralConfig:

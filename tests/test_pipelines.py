@@ -89,14 +89,16 @@ def test_fused_partition_lanczos_solver(fract):
 
 
 def test_solver_auto_resolution(fract):
-    """solver="auto" picks lanczos at <=2048 nodes and power above
-    (resolve_solver); on the 149-node fract the fused auto pipeline
+    """solver="auto" picks lanczos at <=256 nodes and power above —
+    the measured crossover (benchmarks/diag_solver_sweep.py: lanczos
+    wins only on the 149-node fract; power is already better at n~504
+    and every larger scale).  On fract the fused auto pipeline
     therefore reproduces the golden Spectra λ₂ exactly."""
     from eig_kl_tpu.utils.config import resolve_solver
 
     cfg = SpectralConfig(solver="auto")
     assert resolve_solver(cfg, 149).solver == "lanczos"
-    assert resolve_solver(cfg, 2049).solver == "power"
+    assert resolve_solver(cfg, 257).solver == "power"
     # Concrete solvers pass through untouched.
     assert resolve_solver(SpectralConfig(solver="power"), 1).solver == "power"
 

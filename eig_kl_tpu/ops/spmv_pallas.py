@@ -81,8 +81,9 @@ def _reduce_rowwise(rblock: int) -> bool:
 
 
 def _reduce_impl_default() -> str:
-    """Pick the v2 reduce kernel: "mxu2" (factored one-hot, default),
-    "mxu" (dense one-hot), or "vpu" (compare-sum chain).
+    """Pick the v2 reduce kernel: "mxu" (dense one-hot, the default —
+    hardware-proven), "mxu2" (factored one-hot, opt-in pending hardware
+    timing that shows it ahead), or "vpu" (compare-sum chain).
 
     The dense one-hot's (128, CHUNK) lane compare + select is the whole
     matvec's compute floor (~2x128 element-ops per slot); "mxu2"

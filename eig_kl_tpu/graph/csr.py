@@ -244,8 +244,13 @@ class Graph:
             ell_idx, ell_w = self.ell_on_device(pad_multiple, dtype)
         else:
             h_idx, h_w = self.to_ell(pad_multiple)
+            # Convert dtypes on HOST: jnp.asarray(x, dtype=...) with a
+            # differing dtype dispatches a one-off convert program per
+            # shape — pure cold-start cost (a remote compile each on
+            # the axon plugin); np.asarray + plain upload compiles
+            # nothing.
             ell_idx = jnp.asarray(h_idx)
-            ell_w = jnp.asarray(h_w, dtype=dtype)
+            ell_w = jnp.asarray(np.asarray(h_w, dtype=dtype))
         plan = None
         if with_plan:
             from eig_kl_tpu.ops.spmv_pallas import plan_for_graph
@@ -254,8 +259,8 @@ class Graph:
         return DeviceGraph(
             ell_indices=ell_idx,
             ell_weights=ell_w,
-            degrees=jnp.asarray(self.weighted_degrees, dtype=dtype),
-            total_weight=jnp.asarray(self.total_weight, dtype=dtype),
+            degrees=jnp.asarray(np.asarray(self.weighted_degrees, dtype=dtype)),
+            total_weight=jnp.asarray(np.asarray(self.total_weight, dtype=dtype)),
             plan=plan,
         )
 

@@ -229,7 +229,10 @@ def refine(
     iterations = int(out.iterations)
     init_sides = np.asarray(sides, dtype=np.int8)
     return KLResult(
-        sides=np.asarray(P.signs_to_sides(out.s)),
+        # Host-side sign decode: an eager signs_to_sides(out.s) would
+        # dispatch two tiny one-off programs (less + convert) per
+        # process — pure cold-start cost on the axon plugin.
+        sides=(np.asarray(out.s) < 0).astype(np.int8),
         best_sides=replay_swaps(
             init_sides,
             np.asarray(out.log_a),

@@ -30,8 +30,13 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-_SIGN = jnp.uint32(0x80000000)
+# A host scalar, NOT jnp.uint32(...): a module-scope jnp constant is an
+# eager device op — one extra compiled program (a remote compile on the
+# axon plugin) paid at import time.  Inside traced code the numpy
+# scalar participates identically.
+_SIGN = np.uint32(0x80000000)
 
 
 def _f32_keys(v: jnp.ndarray) -> jnp.ndarray:

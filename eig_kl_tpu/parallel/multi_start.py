@@ -90,7 +90,9 @@ def multi_start_refine(
     gref = g
 
     def run_raw(batch: np.ndarray):
-        sb = jnp.asarray(batch, dtype=jnp.int8)
+        # int8 on HOST first: a device-side dtype convert is a one-off
+        # compiled program (cold-start cost on the axon plugin).
+        sb = jnp.asarray(np.asarray(batch, dtype=np.int8))
         if mesh is not None:
             sb = jax.device_put(sb, NamedSharding(mesh, P("dp", None)))
         return _batched_kl(
@@ -125,27 +127,38 @@ def multi_start_refine(
     return best, best_cuts
 
 
+@jax.jit
+def _slice_start(out, k):
+    """Device-side slice of start ``k`` across every field of a vmapped
+    ``_kl_loop`` batch — ONE compiled program and one fetch, where
+    eager per-field ``out.x[k]`` indexing dispatched a (dynamic_slice,
+    squeeze) pair of one-off programs per field (~10 extra remote
+    compiles per process on the axon plugin)."""
+    return jax.tree_util.tree_map(lambda x: x[k], out)
+
+
 def _materialize_one(out, init_sides: np.ndarray, k: int) -> KLResult:
     """Host KLResult for start ``k`` of a vmapped ``_kl_loop`` batch."""
     from eig_kl_tpu.kl.engine import best_iteration, replay_swaps
 
-    iterations = int(out.iterations[k])
-    log_cut = np.asarray(out.log_cut[k])
+    sl = jax.device_get(_slice_start(out, k))
+    iterations = int(sl.iterations)
+    log_cut = np.asarray(sl.log_cut)
     return KLResult(
-        sides=np.asarray(out.s[k] < 0, dtype=np.int8),
+        sides=(np.asarray(sl.s) < 0).astype(np.int8),
         best_sides=replay_swaps(
             init_sides[k],
-            np.asarray(out.log_a[k]),
-            np.asarray(out.log_b[k]),
+            np.asarray(sl.log_a),
+            np.asarray(sl.log_b),
             best_iteration(log_cut, iterations),
         ),
-        initial_cut=float(out.initial_cut[k]),
-        final_cut=float(out.cut[k]),
-        best_cut=float(out.best_cut[k]),
-        verified_cut=float(out.verified_cut[k]),
+        initial_cut=float(sl.initial_cut),
+        final_cut=float(sl.cut),
+        best_cut=float(sl.best_cut),
+        verified_cut=float(sl.verified_cut),
         iterations=iterations,
         cut_trajectory=log_cut[: iterations + 1],
-        gain_trajectory=np.asarray(out.log_gain[k])[: iterations + 1],
+        gain_trajectory=np.asarray(sl.log_gain)[: iterations + 1],
     )
 
 

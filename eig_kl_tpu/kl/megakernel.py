@@ -862,6 +862,231 @@ def _mega_full(
     return scalars, lc3, log_gain.reshape(S, -1), ver, best_sides, fin_sides
 
 
+_FUSED_STATICS = (
+    "num_nodes",
+    "P",
+    "max_iters",
+    "terminate_limit",
+    "gain_eps",
+    "interpret",
+    "shift",
+    "tolerance",
+    "min_spec_iters",
+    "max_spec_iters",
+    "seed",
+    "sdtype",
+    "convergence",
+    "check_interval",
+    "stable_checks",
+    "inter_dtype",
+    "cap_limit",
+    "return_values",
+)
+
+
+@functools.partial(jax.jit, static_argnames=_FUSED_STATICS)
+def _fused_full(
+    g_dev,
+    plan,
+    wsum,
+    meta_idx,
+    meta_w,
+    *,
+    num_nodes: int,
+    P: int,
+    max_iters: int,
+    terminate_limit: int,
+    gain_eps: float,
+    interpret: bool,
+    shift: float,
+    tolerance: float,
+    min_spec_iters: int,
+    max_spec_iters: int,
+    seed: int,
+    sdtype: str,
+    convergence: str,
+    check_interval: int,
+    stable_checks: int,
+    inter_dtype: str,
+    cap_limit: int | None,
+    return_values: bool,
+):
+    """The ENTIRE gKL2 pipeline — power-iteration spectral solve,
+    "upper"-median split, initial ``A @ s``/cut, the refinement
+    mega-kernel, and device-side finalization — as ONE jitted program
+    with ONE host fetch.
+
+    The split form (packed spectral program + sides fetch + `_mega_full`
+    dispatch + result fetch) pays two extra tunnel round-trips per run
+    (~40 ms measured at 200K: solve 125.8 ms sync vs a 78.4 ms component
+    model, diag_spectral_breakdown) and one extra remote compile per
+    process.  Numerics are identical: `_power_core_impl` gets the same
+    arguments as the packed path and the mega engine receives the same
+    median split it would have read back.  Reference analog: gKL2 runs
+    eigensolve and refinement in one process with no host hop between
+    them (gKL2.cu:989-1033)."""
+    from eig_kl_tpu.ops.select import upper_median
+    from eig_kl_tpu.spectral.power import _power_core_impl
+
+    n = num_nodes
+    lam, v, spec_iters = _power_core_impl(
+        g_dev,
+        shift,
+        tolerance,
+        min_spec_iters,
+        max_spec_iters,
+        seed,
+        sdtype,
+        convergence=convergence,
+        check_interval=check_interval,
+        stable_checks=stable_checks,
+        inter_dtype=inter_dtype,
+    )
+    med = upper_median(v, n)
+    spec_sides = med > v  # bool[n]; gKL2.cu:403-414 split semantics
+    s_sign = 1.0 - 2.0 * spec_sides.astype(jnp.float32)
+    R = P // 128
+    sf_dev = jnp.zeros(P, jnp.float32).at[:n].set(s_sign).reshape(1, R, 128)
+    n1 = jnp.sum(spec_sides).astype(jnp.int32)
+    natural = jnp.minimum(n1, n - n1)
+    cap = (
+        natural
+        if cap_limit is None
+        else jnp.minimum(jnp.int32(cap_limit), natural)
+    )
+    scalars, lc3, lg, ver, best_sides, fin_sides = _mega_full(
+        plan,
+        wsum,
+        meta_idx,
+        meta_w,
+        sf_dev,
+        cap[None],
+        num_nodes=n,
+        P=P,
+        max_iters=max_iters,
+        terminate_limit=terminate_limit,
+        gain_eps=gain_eps,
+        interpret=interpret,
+        batched=False,
+    )
+    spec_extras = jnp.stack(
+        [lam.astype(jnp.float32), med.astype(jnp.float32),
+         spec_iters.astype(jnp.float32)]
+    )
+    values = v if return_values else jnp.zeros(0, v.dtype)
+    return (
+        scalars,
+        lc3,
+        lg,
+        ver,
+        best_sides,
+        fin_sides,
+        spec_extras,
+        spec_sides.astype(jnp.int8),
+        values,
+    )
+
+
+def fused_refine_mega(
+    mg: MegaGraph,
+    g_dev,
+    spectral_config,
+    config: KLConfig = KLConfig(),
+    *,
+    interpret: bool | None = None,
+    return_values: bool = True,
+):
+    """Single-program fused pipeline: returns ``(EigResult, KLResult)``.
+
+    Eligibility is the caller's job (power solver, f32, single start,
+    no refresh/passes/kicks); :func:`eig_kl_tpu.models.pipelines.
+    fused_partition` routes here when it applies.  ``return_values``
+    False drops the Fiedler vector from the single fetch (7.3 MB at
+    1.8M nodes ≈ the whole fetch budget) — EigResult.values comes back
+    empty."""
+    from eig_kl_tpu.io.eigfile import EigResult
+    from eig_kl_tpu.spectral import power as _powmod
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n = mg.num_nodes
+    P = mg.padded_nodes
+    # The split path sizes log buffers from the host-known split; here
+    # the split is device-computed, so size for the worst case — the
+    # median split's natural cap min(n1, n-n1) never exceeds n//2.
+    static_cap = (
+        n // 2
+        if config.max_iterations is None
+        else min(config.max_iterations, n // 2)
+    )
+    max_iters = min(
+        _round_up(max(static_cap, 1), 4096), max(n // 2, 1)
+    )
+    convergence = spectral_config.convergence
+    if convergence == "auto":
+        convergence = "sign"  # f32 path (power.py auto rule)
+    wsum = mg.weighted_degrees.sum()
+    out = _fused_full(
+        g_dev,
+        mg.spmv_plan,
+        wsum,
+        mg.meta_indices,
+        mg.meta_weights,
+        num_nodes=n,
+        P=P,
+        max_iters=max_iters,
+        terminate_limit=config.terminate_limit(n),
+        gain_eps=config.gain_eps,
+        interpret=interpret,
+        shift=spectral_config.shift,
+        tolerance=spectral_config.tolerance,
+        min_spec_iters=spectral_config.min_power_iters,
+        max_spec_iters=spectral_config.max_iterations,
+        seed=spectral_config.seed,
+        sdtype="float32",
+        convergence=convergence,
+        check_interval=spectral_config.check_interval,
+        stable_checks=spectral_config.stable_checks,
+        inter_dtype=spectral_config.inter_dtype,
+        cap_limit=config.max_iterations,
+        return_values=return_values,
+    )
+    (
+        sc,
+        lc,
+        lg,
+        verified,
+        best_sides,
+        fin_sides,
+        spec_extras,
+        spec_sides,
+        values,
+    ) = jax.device_get(out)
+    _powmod.last_iterations = int(spec_extras[2])
+    eig = EigResult(
+        eigenvalue=float(spec_extras[0]),
+        median=float(spec_extras[1]),
+        sides=spec_sides,
+        values=np.asarray(values, np.float64),
+    )
+    sc = sc[:, 0]
+    iterations = int(sc[2])
+    lc = lc.reshape(-1)
+    lg = lg.reshape(-1)
+    kl = KLResult(
+        sides=fin_sides[0],
+        best_sides=best_sides[0],
+        initial_cut=float(sc[6]),
+        final_cut=float(sc[0]),
+        best_cut=float(sc[1]),
+        verified_cut=float(verified[0]),
+        iterations=iterations,
+        cut_trajectory=lc[: iterations + 1],
+        gain_trajectory=lg[: iterations + 1],
+    )
+    return eig, kl
+
+
 def refine_mega_batch(
     mg: MegaGraph,
     sides_batch: np.ndarray,

@@ -192,18 +192,47 @@ def fused_partition(
             dtype=dtype, with_plan=jax.default_backend() == "tpu"
         )
     eig = None
+    if use_eig:
+        # Resolve "auto" up front: the power solver reuses the
+        # KL-weighted adjacency (gKL2's own design, gKL2.cu:262-303);
+        # lanczos/lobpcg need the 2/k EIG weighting and build it
+        # themselves.
+        from eig_kl_tpu.utils.config import resolve_solver
+
+        spectral_config = resolve_solver(spectral_config, hg.num_nodes)
+        if (
+            spectral_config.solver == "power"
+            and starts == 1
+            and _use_mega(kl_config, dtype)
+            and kl_config.refresh_interval == 0
+            and kl_config.kicks == 0
+        ):
+            from eig_kl_tpu.kl.multipass import resolved_passes
+
+            if resolved_passes(kl_config) <= 1:
+                # Whole gKL2 pipeline — solve, split, refine, verify —
+                # as ONE program + ONE fetch (fused_refine_mega); the
+                # phases are not separable, so the span covers both.
+                from eig_kl_tpu.kl.megakernel import (
+                    MegaGraph,
+                    fused_refine_mega,
+                )
+
+                mg = MegaGraph(g_host, plan=g.plan, device_graph=g)
+                with tracer.span("spectral+kl.fused"):
+                    eig, result = fused_refine_mega(
+                        mg, g, spectral_config, kl_config
+                    )
+                return PartitionRun(
+                    circuit=hg.name,
+                    eig=eig,
+                    kl=result,
+                    timings=dict(tracer.spans),
+                    nnz=g_host.nnz,
+                )
     with tracer.span("init"):
         if use_eig:
             with tracer.span("spectral.total"):
-                # Resolve "auto" BEFORE the shared-graph decision: the
-                # power solver reuses the KL-weighted adjacency (gKL2's
-                # own design, gKL2.cu:262-303); lanczos/lobpcg need the
-                # 2/k EIG weighting and build it themselves.
-                from eig_kl_tpu.utils.config import resolve_solver
-
-                spectral_config = resolve_solver(
-                    spectral_config, hg.num_nodes
-                )
                 shared = g if spectral_config.solver == "power" else None
                 eig = eig_partition(
                     hg, spectral_config, dtype=dtype, graph=shared

@@ -185,13 +185,21 @@ def build_plan(
 
             rows, cols, weights = _ensure_row_sorted(rows, cols, weights)
             d = native_io.build_plan_v1_native(n, rows, cols, weights)
+            cw8, rw8, col_local, row_local, w_arr, route_src = _pad_v1_chunks(
+                d["cw8"],
+                d["rw8"],
+                d["col_local"],
+                d["row_local"],
+                d["weights"],
+                d["route_src"],
+            )
             return SpmvPlan(
-                cw8=jnp.asarray(d["cw8"]),
-                rw8=jnp.asarray(d["rw8"]),
-                col_local=jnp.asarray(d["col_local"]),
-                row_local=jnp.asarray(d["row_local"]),
-                weights=jnp.asarray(d["weights"]),
-                route_src=jnp.asarray(d["route_src"]),
+                cw8=jnp.asarray(cw8),
+                rw8=jnp.asarray(rw8),
+                col_local=jnp.asarray(col_local),
+                row_local=jnp.asarray(row_local),
+                weights=jnp.asarray(w_arr),
+                route_src=jnp.asarray(route_src),
                 padded_nodes=d["padded_nodes"],
             )
         except (ImportError, OSError):
@@ -256,14 +264,48 @@ def build_plan(
     route_src = np.full((C, WINDOW), -1, np.int16)
     route_src[c_idx, r_idx] = p_idx
 
+    cw8, rw8, col_local, row_local, w_arr, route_src = _pad_v1_chunks(
+        cw8,
+        rw8,
+        col_local.reshape(C, 4, 128),
+        row_local.reshape(C, 4, 128),
+        w_arr.reshape(C, 4, 128),
+        route_src.reshape(C, 8, 128),
+    )
     return SpmvPlan(
         cw8=jnp.asarray(cw8),
         rw8=jnp.asarray(rw8),
-        col_local=jnp.asarray(col_local.reshape(C, 4, 128)),
-        row_local=jnp.asarray(row_local.reshape(C, 4, 128)),
-        weights=jnp.asarray(w_arr.reshape(C, 4, 128)),
-        route_src=jnp.asarray(route_src.reshape(C, 8, 128)),
+        col_local=jnp.asarray(col_local),
+        row_local=jnp.asarray(row_local),
+        weights=jnp.asarray(w_arr),
+        route_src=jnp.asarray(route_src),
         padded_nodes=P,
+    )
+
+
+def _pad_v1_chunks(cw8, rw8, col_local, row_local, w_arr, route_src):
+    """Pad the chunk axis to a multiple of 8 so `_spmv_call` can batch
+    chunks per grid step.  Padding chunks are inert: zero weights make
+    every entry contribute 0 and route_src -1 routes nothing, so the
+    y `+= 0` at window 0 is a no-op."""
+    C = cw8.shape[0]
+    Cp = _round_up(max(C, 1), 8)
+    if Cp == C:
+        return cw8, rw8, col_local, row_local, w_arr, route_src
+    pad = Cp - C
+
+    def z(a, fill=0):
+        out = np.full((Cp,) + a.shape[1:], fill, a.dtype)
+        out[:C] = a
+        return out
+
+    return (
+        z(np.asarray(cw8)),
+        z(np.asarray(rw8)),
+        z(np.asarray(col_local)),
+        z(np.asarray(row_local)),
+        z(np.asarray(w_arr)),
+        z(np.asarray(route_src), fill=-1),
     )
 
 
@@ -279,7 +321,15 @@ def _flat_shift(x, k, lane):
     return pltpu.roll(x, r0, axis=0)
 
 
-def _spmv_kernel(cw_ref, rw_ref, x_ref, cl_ref, rl_ref, w_ref, src_ref, y_ref):
+def _spmv_kernel(
+    cw_ref, rw_ref, x_ref, cl_ref, rl_ref, w_ref, src_ref, y_ref, *, nb: int = 1
+):
+    """Process ``nb`` 512-entry chunks per grid step (static unroll).
+
+    One chunk per step costs ~2 us of grid-step overhead — at 1.8M
+    nodes the v2 plan's 502-chunk v1 TAIL alone pays ~1 ms per matvec
+    on stepping.  Batching amortizes it nb-x; padding chunks (zero
+    weights, route_src -1) contribute exactly zero to y."""
     c = pl.program_id(0)
 
     @pl.when(c == 0)
@@ -289,65 +339,79 @@ def _spmv_kernel(cw_ref, rw_ref, x_ref, cl_ref, rl_ref, w_ref, src_ref, y_ref):
     lane4 = jax.lax.broadcasted_iota(jnp.int32, (4, 128), 1)
     flat4 = jax.lax.broadcasted_iota(jnp.int32, (4, 128), 0) * 128 + lane4
 
-    # --- expand: g[p] = x_window[col_local[p]] -------------------------
-    X = x_ref[pl.ds(cw_ref[c], 8), :]
-    cl = cl_ref[0].astype(jnp.int32)
-    q = cl >> 7
-    l = cl & 127
-    g = jnp.zeros((4, 128), jnp.float32)
-    for qq in range(8):
-        cand = jnp.take_along_axis(
-            jnp.broadcast_to(X[qq : qq + 1, :], (4, 128)), l, axis=1
-        )
-        g = g + jnp.where(q == qq, cand, 0.0)
-    e = g * w_ref[0]
+    for j in range(nb):
+        # --- expand: g[p] = x_window[col_local[p]] ---------------------
+        X = x_ref[pl.ds(cw_ref[c * nb + j], 8), :]
+        cl = cl_ref[j].astype(jnp.int32)
+        q = cl >> 7
+        l = cl & 127
+        g = jnp.zeros((4, 128), jnp.float32)
+        for qq in range(8):
+            cand = jnp.take_along_axis(
+                jnp.broadcast_to(X[qq : qq + 1, :], (4, 128)), l, axis=1
+            )
+            g = g + jnp.where(q == qq, cand, 0.0)
+        e = g * w_ref[j]
 
-    # --- segmented inclusive scan over flat order ----------------------
-    rl = rl_ref[0].astype(jnp.int32)
-    for k in (1, 2, 4, 8, 16, 32, 64, 128, 256):
-        se = _flat_shift(e, k, lane4)
-        sr = _flat_shift(rl, k, lane4)
-        m = (sr == rl) & (flat4 >= k)
-        e = e + jnp.where(m, se, 0.0)
+        # --- segmented inclusive scan over flat order ------------------
+        rl = rl_ref[j].astype(jnp.int32)
+        for k in (1, 2, 4, 8, 16, 32, 64, 128, 256):
+            se = _flat_shift(e, k, lane4)
+            sr = _flat_shift(rl, k, lane4)
+            m = (sr == rl) & (flat4 >= k)
+            e = e + jnp.where(m, se, 0.0)
 
-    # --- route segment totals into the y window ------------------------
-    src = src_ref[0].astype(jnp.int32)
-    valid = src >= 0
-    src = jnp.where(valid, src, 0)
-    ps = src >> 7
-    pl_ = src & 127
-    out = jnp.zeros((8, 128), jnp.float32)
-    for qq in range(4):
-        cand = jnp.take_along_axis(
-            jnp.broadcast_to(e[qq : qq + 1, :], (8, 128)), pl_, axis=1
-        )
-        out = out + jnp.where(ps == qq, cand, 0.0)
-    out = jnp.where(valid, out, 0.0)
+        # --- route segment totals into the y window --------------------
+        src = src_ref[j].astype(jnp.int32)
+        valid = src >= 0
+        src = jnp.where(valid, src, 0)
+        ps = src >> 7
+        pl_ = src & 127
+        out = jnp.zeros((8, 128), jnp.float32)
+        for qq in range(4):
+            cand = jnp.take_along_axis(
+                jnp.broadcast_to(e[qq : qq + 1, :], (8, 128)), pl_, axis=1
+            )
+            out = out + jnp.where(ps == qq, cand, 0.0)
+        out = jnp.where(valid, out, 0.0)
 
-    rw = rw_ref[c]
-    y_ref[pl.ds(rw, 8), :] += out
+        rw = rw_ref[c * nb + j]
+        y_ref[pl.ds(rw, 8), :] += out
+
+
+def _v1_nb(C: int) -> int:
+    """Chunks per v1 grid step: batch once there is enough grid to
+    amortize (the unrolled kernel body grows ~nb-x, so tiny circuits
+    keep the single-chunk form).  EIG_KL_TPU_V1_NB overrides."""
+    env = os.environ.get("EIG_KL_TPU_V1_NB")
+    if env:
+        return max(1, int(env))
+    return 8 if C >= 64 else 1
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _spmv_call(plan: SpmvPlan, x2d: jnp.ndarray, *, interpret: bool = False):
     C = plan.col_local.shape[0]
     R = x2d.shape[0]
+    nb = _v1_nb(C)
+    if C % nb != 0:
+        nb = 1
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(C,),
+        grid=(C // nb,),
         in_specs=[
             pl.BlockSpec((R, 128), lambda c, *_: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 4, 128), lambda c, *_: (c, 0, 0)),
-            pl.BlockSpec((1, 4, 128), lambda c, *_: (c, 0, 0)),
-            pl.BlockSpec((1, 4, 128), lambda c, *_: (c, 0, 0)),
-            pl.BlockSpec((1, 8, 128), lambda c, *_: (c, 0, 0)),
+            pl.BlockSpec((nb, 4, 128), lambda c, *_: (c, 0, 0)),
+            pl.BlockSpec((nb, 4, 128), lambda c, *_: (c, 0, 0)),
+            pl.BlockSpec((nb, 4, 128), lambda c, *_: (c, 0, 0)),
+            pl.BlockSpec((nb, 8, 128), lambda c, *_: (c, 0, 0)),
         ],
         out_specs=pl.BlockSpec(
             (R, 128), lambda c, *_: (0, 0), memory_space=pltpu.VMEM
         ),
     )
     return pl.pallas_call(
-        _spmv_kernel,
+        functools.partial(_spmv_kernel, nb=nb),
         out_shape=jax.ShapeDtypeStruct((R, 128), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
@@ -410,6 +474,7 @@ def spmv_pallas_2d(
             reduce_impl=_reduce_impl_default(),
             rblock=plan.rblock,
             reduce_rowwise=_reduce_rowwise(plan.rblock),
+            reduce_dot=_reduce_dot_default(),
         )
         if plan.tail is not None:
             y = y + _spmv_call(plan.tail, x2d, interpret=interpret)
@@ -796,9 +861,20 @@ def _reduce_kernel(rb_ref, e_ref, rl_ref, y_ref, *, ry: int, rblock: int = RBLOC
     lax.fori_loop(0, GB2, body, 0)
 
 
+def _reduce_dot_default() -> str:
+    """Dot-operand dtype for the bf16-e MXU reduce: "f32" (default) or
+    "bf16" (cast both operands before the dot).  Hardware A/B
+    2026-08-19 (bench_spmv, same session): bf16 operands are NOT
+    faster — 200K 0.840 vs 0.781 ms chained, 1.8M 5.52 vs 5.47 — the
+    dot is not the reduce's bottleneck and the casts add VPU work, so
+    the proven f32-operand form stays default.  Read per call and
+    threaded as a static jit argument."""
+    return os.environ.get("EIG_KL_TPU_REDUCE_DOT", "f32")
+
+
 def _reduce_kernel_mxu(
     rb_ref, e_ref, rl_ref, y_ref, *, ry: int, rblock: int = RBLOCK,
-    rowwise: bool = False,
+    rowwise: bool = False, reduce_dot: str = "bf16",
 ):
     """MXU form of the one-hot reduce: per 512-slot sub-chunk, split
     the row-local into (128-group h, lane) once, then contract
@@ -832,6 +908,16 @@ def _reduce_kernel_mxu(
     # oracle keeps f32 semantics -- measured: HIGHEST costs ~2x on the
     # whole matvec (0.22 s -> 0.41 s spectral at 200K) but those paths
     # run it twice per refinement, not twice per iteration.
+    #
+    # bf16 DOT OPERANDS (bf16-e path only): the compare/select must run
+    # in f32 (v5e Mosaic supports neither bf16 vector compares, "Target
+    # does not support this comparison", nor relayouting an int-compare
+    # i1 mask to bf16 tiling), but casting the finished f32 operands to
+    # bf16 for the dot is exact -- the one-hot is 0/1 and e's values
+    # already carry bf16 precision -- and turns a multi-pass f32 MXU
+    # contraction into a single bf16 pass.  EIG_KL_TPU_REDUCE_DOT=f32
+    # restores the f32-operand dot.
+    bf16_dot = e_ref.dtype == jnp.bfloat16 and reduce_dot != "f32"
     prec = (
         jax.lax.Precision.DEFAULT
         if e_ref.dtype == jnp.bfloat16
@@ -848,6 +934,9 @@ def _reduce_kernel_mxu(
                 h_iota == (rl_row >> 7), e_row.astype(jnp.float32), 0.0
             )                                            # (H, 512)
             oh_t = (lane_col == (rl_row & 127)).astype(jnp.float32)
+            if bf16_dot:
+                eh = eh.astype(jnp.bfloat16)
+                oh_t = oh_t.astype(jnp.bfloat16)
             part = jax.lax.dot_general(
                 eh,
                 oh_t,
@@ -893,11 +982,18 @@ def _reduce_kernel_mxu2(
         part[h, a*B+b] = sum_s f[(h,a), s] * oh_b[b, s]
 
     Per slot that is ~2*H*A + 2*B element-ops vs the dense form's
-    ~2*128 + 2*H (H=4, B=32: ~96 vs ~272).  The (H*A, B) result's
-    row-major flatten [(h,a), b] = [h, (a,b)] IS the (H, 128) y-tile,
-    so the reshape is layout-free.  Padding slots carry rl = -1: the
-    arithmetic shift keeps the key at -1, which matches no iota row,
-    so f is zero there and nothing reaches the dot."""
+    ~2*128 + 2*H (H=4, B=32: ~96 vs ~272).  Padding slots carry
+    rl = -1: the arithmetic shift keeps the key at -1, which matches
+    no iota row, so f is zero there and nothing reaches the dot.
+
+    Layout note: f's rows are ordered (a, h) — row r = a*H + h matches
+    key h*A + a via a permuted row-key iota — so the (H*A, B) dot
+    result reassembles into the (H, 128) y-tile as A CONTIGUOUS
+    H-row slices concatenated along lanes (lane = a*B + b).  The
+    row-major (h, a)-ordered variant needs a (H*A, B) -> (H, 128)
+    vector shape cast that Mosaic rejects at coarse row-blocks
+    (observed on-chip at H=16: "infer-vector-layout: unsupported
+    shape cast (64x32) -> (16x128)")."""
     c = pl.program_id(0)
     H = rblock // 128
     # Minimize 2*H*A + 2*B subject to A*B = 128, both powers of two.
@@ -912,16 +1008,29 @@ def _reduce_kernel_mxu2(
     def _():
         y_ref[:] = jnp.zeros_like(y_ref)
 
+    # Row r = a*H + h carries key h*A + a (see layout note).  The
+    # permutation is applied to the per-slot KEY, not the iota: Mosaic
+    # rejects the relayout a computed (mod/div) iota forces on the
+    # broadcast compare.  key -> row: r = (key % A)*H + key // A.
     ha_iota = jax.lax.broadcasted_iota(jnp.int32, (H * A, CHUNK), 0)
     b_iota = jax.lax.broadcasted_iota(jnp.int32, (B, CHUNK), 0)
+    shift_a = A.bit_length() - 1
 
-    # bf16 intermediates stay bf16 through the select and the dot
-    # (exact: the one-hot factors are 0/1 and e already carries bf16
-    # values; the dot accumulates in f32 via preferred_element_type).
-    if e_ref.dtype == jnp.bfloat16:
-        prec, fdt = jax.lax.Precision.DEFAULT, jnp.bfloat16
-    else:
-        prec, fdt = jax.lax.Precision.HIGHEST, jnp.float32
+    # The select/one-hot build runs in f32 even when e carries bf16:
+    # v5e Mosaic supports neither bf16 vector compares ("Target does
+    # not support this comparison") nor relayouting an int-compare i1
+    # mask to bf16 (16,128) tiling ("Invalid relayout: Non-singleton
+    # logical dimension is replicated...") — both observed on-chip at
+    # H=16.  The f32 path costs one (1, CHUNK) e-row upcast per
+    # sub-chunk and keeps the dense kernel's proven f32-operand dot
+    # (hardware A/B: bf16 dot operands are not faster anyway, see
+    # _reduce_dot_default).
+    prec = (
+        jax.lax.Precision.DEFAULT
+        if e_ref.dtype == jnp.bfloat16
+        else jax.lax.Precision.HIGHEST
+    )
+    fdt = jnp.float32
 
     def body(b, _):
         e_blk = e_ref[pl.ds(b, 1)][0]                    # (8, CHUNK)
@@ -929,17 +1038,28 @@ def _reduce_kernel_mxu2(
         for j in range(8):
             rl_row = rl_blk[j : j + 1, :]                # (1, CHUNK)
             e_row = e_blk[j : j + 1, :].astype(fdt)
-            f = jnp.where(
-                ha_iota == (rl_row >> shift_b), e_row, jnp.zeros((), fdt)
+            key = rl_row >> shift_b                      # h*A + a (or -1)
+            # Permuted row key r = (key % A)*H + key//A; padding slots
+            # (rl = -1) must stay at -1 — the unmasked arithmetic maps
+            # them to the VALID row (A-1)*H - 1.
+            key = jnp.where(
+                rl_row < 0, -1, (key & (A - 1)) * H + (key >> shift_a)
             )
+            f = jnp.where(ha_iota == key, e_row, jnp.zeros((), fdt))
             oh_b = (b_iota == (rl_row & (B - 1))).astype(fdt)
-            part = jax.lax.dot_general(
+            fat = jax.lax.dot_general(
                 f,
                 oh_b,
                 (((1,), (1,)), ((), ())),
                 precision=prec,
                 preferred_element_type=jnp.float32,
-            ).reshape(H, 128)                            # [(h,a), b] -> [h, a*B+b]
+            )                                            # [(a,h), b]
+            # (a*H+h, b) -> (h, a*B+b): A contiguous H-row slices, one
+            # lane concat (the direct reshape is a Mosaic-unsupported
+            # vector shape cast at H > 4).
+            part = jnp.concatenate(
+                [fat[a * H : (a + 1) * H, :] for a in range(A)], axis=1
+            )                                            # (H, 128)
             rb = rb_ref[(c * GB2 + b) * 8 + j]
             if rowwise:
                 for h in range(H):
@@ -964,6 +1084,7 @@ def _reduce_kernel_mxu2(
         "reduce_impl",
         "rblock",
         "reduce_rowwise",
+        "reduce_dot",
     ),
 )
 def _spmv_v2_call(
@@ -983,6 +1104,7 @@ def _spmv_v2_call(
     reduce_impl: str = "mxu",
     rblock: int = RBLOCK,
     reduce_rowwise: bool = False,
+    reduce_dot: str = "bf16",
 ):
     C1 = col_local.shape[0]
     C2g = rl_t.shape[0]
@@ -1033,7 +1155,11 @@ def _spmv_v2_call(
     if reduce_impl == "mxu2":
         red = functools.partial(_reduce_kernel_mxu2, rowwise=reduce_rowwise)
     elif reduce_impl == "mxu":
-        red = functools.partial(_reduce_kernel_mxu, rowwise=reduce_rowwise)
+        red = functools.partial(
+            _reduce_kernel_mxu,
+            rowwise=reduce_rowwise,
+            reduce_dot=reduce_dot,
+        )
     else:
         red = _reduce_kernel
     y = pl.pallas_call(

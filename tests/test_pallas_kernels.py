@@ -77,6 +77,35 @@ class TestSpmvPallas:
             )
             np.testing.assert_allclose(y, y_ref, rtol=1e-4, atol=1e-4)
 
+    def test_v1_chunk_batching_matches(self, rng, monkeypatch):
+        """The nb-batched v1 kernel (8 chunks per grid step, the form
+        every plan with >= 64 chunks takes) matches the single-chunk
+        form bit-for-bit, including when the chunk count needed padding
+        to the 8-multiple (inert chunks: zero weights, route_src -1)."""
+        from eig_kl_tpu.ops.spmv_pallas import build_plan, spmv_pallas_2d
+
+        n, nnz = 20000, 40000  # ~80+ chunks across many stripes
+        rows = np.sort(rng.integers(0, n, nnz).astype(np.int64))
+        cols = rng.integers(0, n, nnz).astype(np.int64)
+        w = rng.random(nnz).astype(np.float32)
+        plan = build_plan(n, rows, cols, w, use_native=False)
+        assert plan.num_chunks % 8 == 0 and plan.num_chunks >= 64
+        x = rng.standard_normal(n).astype(np.float32)
+        P = plan.padded_nodes
+        x2d = jnp.zeros(P, jnp.float32).at[:n].set(x).reshape(P // 128, 128)
+        y_ref = np.zeros(n, np.float32)
+        np.add.at(y_ref, rows, w * x[cols])
+        outs = {}
+        for nb in ("1", "8"):
+            monkeypatch.setenv("EIG_KL_TPU_V1_NB", nb)
+            y = np.asarray(spmv_pallas_2d(plan, x2d, interpret=True))
+            np.testing.assert_allclose(
+                y.reshape(-1)[:n], y_ref, rtol=1e-4, atol=1e-4,
+                err_msg=f"nb={nb}",
+            )
+            outs[nb] = y
+        np.testing.assert_array_equal(outs["1"], outs["8"])
+
     def test_skewed_degrees(self, rng):
         """One giant net (the industry2 585-pin case, scaled down)."""
         from eig_kl_tpu.io.hgr import Hypergraph

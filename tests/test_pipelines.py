@@ -70,6 +70,62 @@ def test_fused_partition_eig_beats_random_start(fract):
     assert eig_run.kl.initial_cut < rand_run.kl.initial_cut
 
 
+def test_fused_single_program_matches_split(fract):
+    """The one-program fused pipeline (megakernel.fused_refine_mega:
+    spectral solve + median split + mega refinement + finalize in ONE
+    jitted program) is bit-identical to the split path — same
+    _power_core_impl arguments, same split, same engine."""
+    import jax.numpy as jnp
+
+    from eig_kl_tpu.graph.expand import clique_expand
+    from eig_kl_tpu.kl.megakernel import (
+        MegaGraph,
+        fused_refine_mega,
+        refine_mega,
+    )
+    from eig_kl_tpu.spectral.partition import eig_partition
+
+    spec = SpectralConfig(solver="power")
+    klc = KLConfig(gain_eps=1e-6)
+    g_host = clique_expand(fract, "kl")
+    g = g_host.to_device(dtype=jnp.float32, with_plan=True)
+    mg = MegaGraph(g_host, plan=g.plan, device_graph=g)
+
+    eig_s = eig_partition(fract, spec, dtype=jnp.float32, graph=g)
+    kl_s = refine_mega(mg, eig_s.sides, klc, interpret=True)
+    eig_f, kl_f = fused_refine_mega(mg, g, spec, klc, interpret=True)
+
+    assert eig_f.eigenvalue == pytest.approx(eig_s.eigenvalue, abs=1e-6)
+    assert eig_f.median == pytest.approx(eig_s.median, abs=1e-7)
+    np.testing.assert_array_equal(eig_f.sides, eig_s.sides)
+    np.testing.assert_allclose(
+        eig_f.values, np.asarray(eig_s.values, np.float64), atol=1e-7
+    )
+    assert kl_f.initial_cut == kl_s.initial_cut
+    assert kl_f.best_cut == kl_s.best_cut
+    assert kl_f.final_cut == kl_s.final_cut
+    assert kl_f.verified_cut == kl_s.verified_cut
+    assert kl_f.iterations == kl_s.iterations
+    np.testing.assert_array_equal(kl_f.best_sides, kl_s.best_sides)
+    np.testing.assert_array_equal(kl_f.sides, kl_s.sides)
+    np.testing.assert_array_equal(kl_f.cut_trajectory, kl_s.cut_trajectory)
+
+
+def test_fused_partition_routes_single_program(fract, monkeypatch):
+    """fused_partition with the mega engine forced takes the
+    one-program route (span 'spectral+kl.fused') and still reproduces
+    the split path's quality on fract."""
+    run = fused_partition(
+        fract,
+        use_eig=True,
+        spectral_config=SpectralConfig(solver="power"),
+        kl_config=KLConfig(gain_eps=1e-6, use_pallas=True),
+    )
+    assert "spectral+kl.fused" in run.timings
+    assert run.kl.verified_cut == pytest.approx(run.kl.final_cut, abs=1e-3)
+    assert run.eig is not None and run.eig.num_nodes == fract.num_nodes
+
+
 def test_spectral_partition_pipeline(fract):
     run = spectral_partition(fract)
     assert run.eig.eigenvalue == pytest.approx(0.254706743273, abs=1e-6)

@@ -50,15 +50,9 @@ def _key_to_f32(key: jnp.ndarray) -> jnp.ndarray:
     return jax.lax.bitcast_convert_type(bits, jnp.float32)
 
 
-def kth_smallest(v: jnp.ndarray, k: int) -> jnp.ndarray:
-    """Exact ``jnp.sort(v)[k]`` (0-indexed rank ``k``) without sorting.
-
-    ``v`` must be 1-D.  f32 runs the 32-pass bit binary search; other
-    dtypes fall back to ``jnp.sort``.
-    """
-    if v.dtype != jnp.float32:
-        return jnp.sort(v)[k]
-    keys = _f32_keys(v)
+def _kth_key_bits(keys: jnp.ndarray, k: int) -> jnp.ndarray:
+    """32-pass bit binary search for the rank-k key (one compare+reduce
+    per bit; each pass streams the key vector once)."""
     k32 = jnp.asarray(k, jnp.int32)
 
     def body(i, result):
@@ -68,7 +62,67 @@ def kth_smallest(v: jnp.ndarray, k: int) -> jnp.ndarray:
 
     # After the loop `result` is the largest key K with #{keys < K} <= k,
     # which is exactly the rank-k key (monotone count argument).
-    result = jax.lax.fori_loop(0, 32, body, jnp.uint32(0))
+    return jax.lax.fori_loop(0, 32, body, jnp.uint32(0))
+
+
+def _kth_key_radix(keys: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Radix-histogram rank select: FOUR passes over the data (8 bits
+    per pass) instead of the bit search's 32.
+
+    Each pass builds a 256-bin histogram of the current byte over the
+    keys still matching the resolved high-byte prefix — one fused
+    one-hot compare + column reduce, streaming the key vector once —
+    then picks the bin containing rank ``k_left`` and narrows.  Inside
+    the power solver's check body the select's sequential pass count is
+    the cost (each pass is a full-vector reduce with its own latency);
+    8x fewer passes is the point.  Result is bit-identical to the bit
+    search (both return the exact rank-k key)."""
+    bins = jnp.arange(256, dtype=jnp.uint32)[None, :]
+    prefix = jnp.uint32(0)
+    k_left = jnp.asarray(k, jnp.int32)
+    for p in range(4):
+        shift = 24 - 8 * p
+        # Bits above the current byte; Python-static masks avoid a
+        # dynamic >>32 on the first pass.
+        high_mask = np.uint32(0xFFFFFFFF ^ ((1 << (shift + 8)) - 1))
+        active = (keys & high_mask) == prefix
+        byte = (keys >> np.uint32(shift)) & np.uint32(0xFF)
+        counts = jnp.sum(
+            jnp.where(active[:, None] & (byte[:, None] == bins), 1, 0),
+            axis=0,
+            dtype=jnp.int32,
+        )
+        cum = jnp.cumsum(counts)
+        bin_ = jnp.sum((cum <= k_left).astype(jnp.int32)).astype(jnp.uint32)
+        below = jnp.where(bin_ > 0, cum[jnp.maximum(bin_, 1) - 1], 0)
+        k_left = k_left - below
+        prefix = prefix | (bin_ << np.uint32(shift))
+    return prefix
+
+
+def _select_impl() -> str:
+    """"radix" (4-pass histogram, the default) or "bits" (32-pass
+    binary search).  Both are exact and bit-identical; the knob exists
+    for A/B timing.  EIG_KL_TPU_SELECT_IMPL overrides."""
+    import os
+
+    return os.environ.get("EIG_KL_TPU_SELECT_IMPL", "radix")
+
+
+def kth_smallest(v: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Exact ``jnp.sort(v)[k]`` (0-indexed rank ``k``) without sorting.
+
+    ``v`` must be 1-D.  f32 runs the radix-histogram select (4 data
+    passes; EIG_KL_TPU_SELECT_IMPL=bits switches to the 32-pass bit
+    binary search); other dtypes fall back to ``jnp.sort``.
+    """
+    if v.dtype != jnp.float32:
+        return jnp.sort(v)[k]
+    keys = _f32_keys(v)
+    if _select_impl() == "bits":
+        result = _kth_key_bits(keys, k)
+    else:
+        result = _kth_key_radix(keys, k)
     return _key_to_f32(result)
 
 

@@ -97,6 +97,15 @@ def _reduce_impl_default() -> str:
     return os.environ.get("EIG_KL_TPU_REDUCE_IMPL", "mxu")
 
 
+def _host_bf16(w: np.ndarray) -> np.ndarray:
+    """Host-side f32 -> bf16 conversion (ml_dtypes ships with jax); an
+    eager device-side astype would dispatch a one-off convert program
+    per shape — pure cold-start cost on the axon plugin."""
+    import ml_dtypes
+
+    return np.asarray(w, dtype=ml_dtypes.bfloat16)
+
+
 def _ensure_row_sorted(rows, cols, weights):
     """The native planners rely on CSR (row-major) entry order for
     their stable counting sort; sort first for arbitrary COO input."""
@@ -458,9 +467,13 @@ def spmv_pallas_2d(
         # to f32 for such plans instead.
         if jnp.dtype(inter_dtype) == jnp.bfloat16 and plan.g1 % 2048 != 0:
             inter_dtype = jnp.float32
+        use_bf16_w = (
+            jnp.dtype(inter_dtype) == jnp.bfloat16
+            and plan.weights_bf16 is not None
+        )
         y = _spmv_v2_call(
             plan.col_local,
-            plan.weights,
+            plan.weights_bf16 if use_bf16_w else plan.weights,
             plan.rl_t,
             plan.rb_of,
             x2d,
@@ -590,6 +603,11 @@ class SpmvPlanV2:
     Attributes:
       col_local: int16[C1,4,128] pass-1 slot column offsets in-window.
       weights: f32[C1,4,128] pass-1 slot weights (0 = padding).
+      weights_bf16: bf16 copy of ``weights`` (host-converted, built
+        once) — the bf16-intermediate matvec streams this instead,
+        halving the gather pass's dominant HBM input (at 1.8M nodes:
+        102 MB of f32 weights vs 51 MB).  The f32-semantics paths
+        (cut oracle, gain init) keep streaming ``weights``.
       rl_t: f32[C2g,8,512] pass-2 per-slot row offsets in the 512-row
         window, already in transposed slot order; -1 = padding.
       rb_of: int32[C2g*8] y-window row-block per pass-2 sub-chunk.
@@ -599,6 +617,7 @@ class SpmvPlanV2:
 
     col_local: jnp.ndarray
     weights: jnp.ndarray
+    weights_bf16: jnp.ndarray
     rl_t: jnp.ndarray
     rb_of: jnp.ndarray
     tail: SpmvPlan | None
@@ -611,7 +630,14 @@ class SpmvPlanV2:
     rblock: int = RBLOCK
 
     def tree_flatten(self):
-        children = (self.col_local, self.weights, self.rl_t, self.rb_of, self.tail)
+        children = (
+            self.col_local,
+            self.weights,
+            self.weights_bf16,
+            self.rl_t,
+            self.rb_of,
+            self.tail,
+        )
         aux = (
             self.padded_nodes,
             self.n_cb,
@@ -706,6 +732,7 @@ def build_plan_v2(
             return SpmvPlanV2(
                 col_local=jnp.asarray(d["col_local"]),
                 weights=jnp.asarray(d["weights"]),
+                weights_bf16=jnp.asarray(_host_bf16(d["weights"])),
                 rl_t=jnp.asarray(rl_t),
                 rb_of=jnp.asarray(rb_of),
                 tail=tail,
@@ -785,6 +812,7 @@ def build_plan_v2(
     return SpmvPlanV2(
         col_local=jnp.asarray(col_local.reshape(C1, 4, 128)),
         weights=jnp.asarray(w_arr.reshape(C1, 4, 128)),
+        weights_bf16=jnp.asarray(_host_bf16(w_arr.reshape(C1, 4, 128))),
         rl_t=jnp.asarray(rl_t2.reshape(C2p // 8, 8, CHUNK)),
         rb_of=jnp.asarray(rb_of),
         tail=tail,
@@ -961,6 +989,75 @@ def _reduce_kernel_mxu(
     lax.fori_loop(0, GB2, body, 0)
 
 
+def _reduce_kernel_mxuv(
+    rb_ref, e_ref, rl_ref, y_ref, *, ry: int, rblock: int = RBLOCK,
+    rowwise: bool = False,
+):
+    """V-factored variant of the dense MXU reduce: same (H, CHUNK) x
+    (128, CHUNK) dot, but the 128-lane one-hot is built as the product
+    of two SMALL one-hots instead of a 128-row compare+select:
+
+        oh[l, s] = [l>>4 == hi(s)] * [l&15 == lo(s)]
+                 = repeat(VA, 16, axis=0) * tile(VB, 8)
+
+    with VA an (8, CHUNK) compare on the lane's high 3 bits and VB a
+    (16, CHUNK) compare on its low 4.  Per slot: 2*8 + 2*16 compare/
+    select + 128 multiply ≈ 176 VPU ops vs the dense form's ≈ 256 —
+    the one-hot build is the reduce's measured bottleneck (the dot is
+    not: see _reduce_dot_default).  The sublane repeat/tile are
+    relayout-only ops.  Output layout and the y update are identical
+    to _reduce_kernel_mxu."""
+    c = pl.program_id(0)
+    H = rblock // 128
+    LA, LB = 8, 16  # lane = a*16 + b
+
+    @pl.when(c == 0)
+    def _():
+        y_ref[:] = jnp.zeros_like(y_ref)
+
+    h_iota = jax.lax.broadcasted_iota(jnp.int32, (H, CHUNK), 0)
+    a_iota = jax.lax.broadcasted_iota(jnp.int32, (LA, CHUNK), 0)
+    b_iota = jax.lax.broadcasted_iota(jnp.int32, (LB, CHUNK), 0)
+
+    prec = (
+        jax.lax.Precision.DEFAULT
+        if e_ref.dtype == jnp.bfloat16
+        else jax.lax.Precision.HIGHEST
+    )
+
+    def body(b, _):
+        e_blk = e_ref[pl.ds(b, 1)][0]                    # (8, CHUNK)
+        rl_blk = rl_ref[pl.ds(b, 1)][0].astype(jnp.int32)
+        for j in range(8):
+            rl_row = rl_blk[j : j + 1, :]                # (1, CHUNK)
+            e_row = e_blk[j : j + 1, :]
+            eh = jnp.where(
+                h_iota == (rl_row >> 7), e_row.astype(jnp.float32), 0.0
+            )                                            # (H, CHUNK)
+            lane = rl_row & 127
+            va = (a_iota == (lane >> 4)).astype(jnp.float32)   # (8, CHUNK)
+            vb = (b_iota == (lane & 15)).astype(jnp.float32)   # (16, CHUNK)
+            oh_t = jnp.repeat(va, LB, axis=0) * jnp.concatenate(
+                [vb] * LA, axis=0
+            )                                            # (128, CHUNK)
+            part = jax.lax.dot_general(
+                eh,
+                oh_t,
+                (((1,), (1,)), ((), ())),
+                precision=prec,
+                preferred_element_type=jnp.float32,
+            )                                            # (H, 128)
+            rb = rb_ref[(c * GB2 + b) * 8 + j]
+            if rowwise:
+                for h in range(H):
+                    y_ref[pl.ds(rb * H + h, 1), :] += part[h : h + 1, :]
+            else:
+                y_ref[pl.ds(rb * H, H), :] += part
+        return 0
+
+    lax.fori_loop(0, GB2, body, 0)
+
+
 def _reduce_kernel_mxu2(
     rb_ref, e_ref, rl_ref, y_ref, *, ry: int, rblock: int = RBLOCK,
     rowwise: bool = False,
@@ -1117,7 +1214,9 @@ def _spmv_v2_call(
     # of n_cb that keeps the step's VMEM blocks modest and the grid
     # short (grid-step overhead was ~60% of the matvec on ibm10-size
     # circuits at one step per column block).
-    cb_bytes = rows_pc * 128 * (2 + 4 + jnp.dtype(inter_dtype).itemsize)
+    cb_bytes = rows_pc * 128 * (
+        2 + weights.dtype.itemsize + jnp.dtype(inter_dtype).itemsize
+    )
     nb1 = max(1, min(16, (4 << 20) // max(cb_bytes, 1), n_cb))
     e1 = pl.pallas_call(
         functools.partial(_gather_kernel, nb=nb1),
@@ -1154,6 +1253,8 @@ def _spmv_v2_call(
 
     if reduce_impl == "mxu2":
         red = functools.partial(_reduce_kernel_mxu2, rowwise=reduce_rowwise)
+    elif reduce_impl == "mxuv":
+        red = functools.partial(_reduce_kernel_mxuv, rowwise=reduce_rowwise)
     elif reduce_impl == "mxu":
         red = functools.partial(
             _reduce_kernel_mxu,

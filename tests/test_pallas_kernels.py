@@ -316,6 +316,7 @@ class TestQuantumFloor:
             return SpmvPlanV2(
                 col_local=jnp.asarray(d["col_local"]),
                 weights=jnp.asarray(d["weights"]),
+                weights_bf16=None,
                 rl_t=jnp.asarray(d["rl_t"]),
                 rb_of=jnp.asarray(d["rb_of"]),
                 tail=tail,
@@ -453,7 +454,7 @@ class TestBf16Intermediates:
             P = plan.padded_nodes
             x2d = jnp.zeros(P, jnp.float32).at[:n].set(x).reshape(P // 128, 128)
             outs = {}
-            for impl in ("mxu", "mxu2"):
+            for impl in ("mxu", "mxu2", "mxuv"):
                 monkeypatch.setenv("EIG_KL_TPU_REDUCE_IMPL", impl)
                 y = np.asarray(spmv_pallas_2d(plan, x2d, interpret=True))
                 np.testing.assert_allclose(
@@ -466,15 +467,16 @@ class TestBf16Intermediates:
                         plan, x2d, interpret=True, inter_dtype=jnp.bfloat16
                     )
                 )
-            np.testing.assert_allclose(
-                outs["mxu"], outs["mxu2"], rtol=1e-5, atol=1e-6
-            )
-            np.testing.assert_allclose(
-                outs["mxu-bf16"].astype(np.float32),
-                outs["mxu2-bf16"].astype(np.float32),
-                rtol=1e-5,
-                atol=1e-6,
-            )
+            for impl in ("mxu2", "mxuv"):
+                np.testing.assert_allclose(
+                    outs["mxu"], outs[impl], rtol=1e-5, atol=1e-6
+                )
+                np.testing.assert_allclose(
+                    outs["mxu-bf16"].astype(np.float32),
+                    outs[impl + "-bf16"].astype(np.float32),
+                    rtol=1e-5,
+                    atol=1e-6,
+                )
 
     def test_v2_rblock_autocoarsens_at_low_occupancy(self, rng):
         """A sparse wide graph (bucket occupancy < 4 at rblock 512)

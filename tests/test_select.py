@@ -20,22 +20,30 @@ def _check_all_ranks(v):
         assert got == ref[k], (k, got, ref[k])
 
 
-def test_small_exhaustive_ranks():
+# Both exact implementations (radix = 4-pass histogram default, bits =
+# 32-pass binary search) must agree with sort on every rank.
+@pytest.fixture(params=["radix", "bits"])
+def select_impl(request, monkeypatch):
+    monkeypatch.setenv("EIG_KL_TPU_SELECT_IMPL", request.param)
+    return request.param
+
+
+def test_small_exhaustive_ranks(select_impl):
     rng = np.random.default_rng(0)
     _check_all_ranks(rng.standard_normal(17).astype(np.float32))
 
 
-def test_ties_and_zeros():
+def test_ties_and_zeros(select_impl):
     v = np.array([0.0, 1.5, 1.5, -2.0, 0.0, 1.5, -2.0, 3.0], np.float32)
     _check_all_ranks(v)
 
 
-def test_all_equal():
+def test_all_equal(select_impl):
     v = np.full(33, 0.25, np.float32)
     _check_all_ranks(v)
 
 
-def test_negatives_and_extremes():
+def test_negatives_and_extremes(select_impl):
     v = np.array(
         [-np.inf, np.inf, 1e-38, -1e-38, 3.4e38, -3.4e38, 0.0, 7.0],
         np.float32,

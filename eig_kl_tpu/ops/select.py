@@ -101,28 +101,35 @@ def _kth_key_radix(keys: jnp.ndarray, k: int) -> jnp.ndarray:
 
 
 def _select_impl() -> str:
-    """"radix" (4-pass histogram, the default) or "bits" (32-pass
-    binary search).  Both are exact and bit-identical; the knob exists
-    for A/B timing.  EIG_KL_TPU_SELECT_IMPL overrides."""
+    """"bits" (32-pass binary search, the default) or "radix" (4-pass
+    histogram).  Both are exact and bit-identical.  Chip-measured
+    2026-08-19 (diag_power_overhead, cap=125): per-check cost inside
+    the sign-exit solve is 0.14-0.18 ms for bits at 69K/200K/1.8M
+    nodes, but radix blows up to 7.0 ms/check at 1.8M — its (n, 256)
+    one-hot histogram pays 256x the compare bandwidth per pass, which
+    beats the 8x pass-count saving only in theory.  Fewer passes lose
+    to narrower passes on real HBM.  EIG_KL_TPU_SELECT_IMPL overrides
+    for A/B."""
     import os
 
-    return os.environ.get("EIG_KL_TPU_SELECT_IMPL", "radix")
+    return os.environ.get("EIG_KL_TPU_SELECT_IMPL", "bits")
 
 
 def kth_smallest(v: jnp.ndarray, k: int) -> jnp.ndarray:
     """Exact ``jnp.sort(v)[k]`` (0-indexed rank ``k``) without sorting.
 
-    ``v`` must be 1-D.  f32 runs the radix-histogram select (4 data
-    passes; EIG_KL_TPU_SELECT_IMPL=bits switches to the 32-pass bit
-    binary search); other dtypes fall back to ``jnp.sort``.
+    ``v`` must be 1-D.  f32 runs the 32-pass bit binary search
+    (EIG_KL_TPU_SELECT_IMPL=radix switches to the 4-pass histogram,
+    slower on chip — see _select_impl); other dtypes fall back to
+    ``jnp.sort``.
     """
     if v.dtype != jnp.float32:
         return jnp.sort(v)[k]
     keys = _f32_keys(v)
-    if _select_impl() == "bits":
-        result = _kth_key_bits(keys, k)
-    else:
+    if _select_impl() == "radix":
         result = _kth_key_radix(keys, k)
+    else:
+        result = _kth_key_bits(keys, k)
     return _key_to_f32(result)
 
 

@@ -112,7 +112,13 @@ def reduce_only(rb_of, et, rl_t, *, ry, rblock):
     from jax.experimental.pallas import tpu as pltpu
 
     C2g = rl_t.shape[0]
-    red = functools.partial(sp._reduce_kernel_mxu, rowwise=False)
+    impl = os.environ.get("EIG_KL_TPU_REDUCE_IMPL", "mxu")
+    kern = {
+        "mxu": sp._reduce_kernel_mxu,
+        "mxu2": sp._reduce_kernel_mxu2,
+        "mxuv": sp._reduce_kernel_mxuv,
+    }[impl]
+    red = functools.partial(kern, rowwise=False)
     return pl.pallas_call(
         functools.partial(red, ry=ry, rblock=rblock),
         out_shape=jax.ShapeDtypeStruct((ry, 128), jnp.float32),

@@ -215,7 +215,12 @@ def main() -> int:
             lambda: reduce_only(p.rb_of, et, p.rl_t, ry=ry, rblock=p.rblock)
         )
         t_full = timeit(lambda: chain_fori(dg.plan, x, 25)) / 25
-        tail = "none" if p.tail is None else f"{p.tail.num_chunks}ch"
+        if p.tail is None:
+            tail = "none"
+        elif hasattr(p.tail, "num_chunks"):
+            tail = f"{p.tail.num_chunks}ch"
+        else:
+            tail = f"coo{p.tail.rows.shape[0]}"
         print(
             f"{name}: n={n} rblock={p.rblock} Q={p.quantum} tail={tail}\n"
             f"  gather={t_g*1e3:.3f}ms transpose={t_t*1e3:.3f}ms "

@@ -57,7 +57,7 @@ def _build_library() -> None:
 # would silently misinterpret arguments; on mismatch we rebuild once
 # and refuse (falling back to the Python implementations) if the
 # rebuilt library still disagrees.
-_ABI_VERSION = 4
+_ABI_VERSION = 5
 
 
 def _abi_of(lib) -> int:
@@ -253,7 +253,7 @@ def _load_plan_symbols(lib):
     lib.ekl_build_plan_v1.restype = ctypes.POINTER(_EklPlanV1)
     lib.ekl_build_plan_v1.argtypes = [ctypes.c_int64, ctypes.c_int64, I32P, I32P, F64P]
     lib.ekl_build_plan_v2.restype = ctypes.POINTER(_EklPlanV2)
-    lib.ekl_build_plan_v2.argtypes = [ctypes.c_int64, ctypes.c_int64, I32P, I32P, F64P, ctypes.c_int64, ctypes.c_int64]
+    lib.ekl_build_plan_v2.argtypes = [ctypes.c_int64, ctypes.c_int64, I32P, I32P, F64P, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64]
     lib.ekl_free_plan_v1.argtypes = [ctypes.POINTER(_EklPlanV1)]
     lib.ekl_free_plan_v2.argtypes = [ctypes.POINTER(_EklPlanV2)]
     lib._plan_symbols = True
@@ -300,18 +300,21 @@ def build_plan_v1_native(n, rows, cols, weights) -> dict:
 
 
 def build_plan_v2_native(
-    n, rows, cols, weights, q_min: int = 0, rblock: int = 512
+    n, rows, cols, weights, q_min: int = 0, rblock: int = 512,
+    q_force: int = 0,
 ) -> dict:
     """Native v2 (bucket-transpose) plan arrays + overflow-tail COO.
 
     q_min: lower bound on the bucket quantum (0 = automatic); raised by
     the caller when the overflow tail is pathologically large.
     rblock: y-window rows per row-block (coarsened at scale so the
-    dense bucket grid stays ~nnz-sized)."""
+    dense bucket grid stays ~nnz-sized).
+    q_force: exact bucket quantum (0 = native's lam*1.5 rule) — set by
+    build_plan_v2's exact-spill geometry search; q_min still wins."""
     lib = _load()
     _load_plan_symbols(lib)
     r, c, w, rp, cp, wp = _coo_args(n, rows, cols, weights)
-    p = lib.ekl_build_plan_v2(n, len(r), rp, cp, wp, q_min, rblock)
+    p = lib.ekl_build_plan_v2(n, len(r), rp, cp, wp, q_min, rblock, q_force)
     try:
         s = p.contents
         S1, C2p = int(s.s1), int(s.c2p)

@@ -489,7 +489,9 @@ def spmv_pallas_2d(
             reduce_rowwise=_reduce_rowwise(plan.rblock),
             reduce_dot=_reduce_dot_default(),
         )
-        if plan.tail is not None:
+        if isinstance(plan.tail, CooTail):
+            y = _coo_tail_add(y, plan.tail, x2d)
+        elif plan.tail is not None:
             y = y + _spmv_call(plan.tail, x2d, interpret=interpret)
         return y
     return _spmv_call(plan, x2d, interpret=interpret)
@@ -536,7 +538,9 @@ def spmv_pallas(
             rblock=plan.rblock,
             reduce_rowwise=_reduce_rowwise(plan.rblock),
         )
-        if plan.tail is not None:
+        if isinstance(plan.tail, CooTail):
+            y = _coo_tail_add(y, plan.tail, x2d)
+        elif plan.tail is not None:
             y = y + _spmv_call(plan.tail, x2d, interpret=interpret)
     else:
         y = _spmv_call(plan, x2d, interpret=interpret)
@@ -597,6 +601,65 @@ RBLOCK = 512          # pass-2 y-window rows per row-block
 
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
+class CooTail:
+    """Scattered bucket-overflow entries as plain row-sorted COO,
+    applied with one XLA gather + scatter-add.
+
+    The v1 tail format pays one 512-slot chunk per (column stripe x
+    1024-row window) tile; a Poisson spill at coarse-rblock geometry is
+    ~1.7 entries per tile, so the v1 tail runs ~512/1.7 = 300x more
+    slot-work than entries.  XLA's scalar-loop scatter costs ~16 ns per
+    entry on v5e (measured 2026-08-19: 0.334 ms for 20.5K entries vs
+    1.15 ms for the same spill as a 7992-chunk v1 plan), so scattered
+    spills go COO and clustered spills (hundreds of entries per tile,
+    e.g. clique rows) keep the v1 format; build_plan_v2 chooses by the
+    measured per-chunk/per-entry cost ratio."""
+
+    rows: jnp.ndarray   # int32[t], sorted
+    cols: jnp.ndarray   # int32[t]
+    w: jnp.ndarray      # f32[t]
+
+    def tree_flatten(self):
+        return (self.rows, self.cols, self.w), ()
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+def _coo_tail_add(y2d: jnp.ndarray, tail: CooTail, x2d: jnp.ndarray):
+    """y += A_tail @ x on the padded (R,128) layout."""
+    xf = x2d.reshape(-1)
+    yf = y2d.reshape(-1)
+    n = yf.shape[0]
+    add = jnp.zeros(n, jnp.float32).at[tail.rows].add(
+        tail.w * xf[tail.cols], mode="drop"
+    )
+    return (yf + add).reshape(y2d.shape)
+
+
+# Measured v5e cost ratio (see CooTail): one v1 tail chunk ~ 144 ns,
+# one COO entry ~ 16 ns -> COO wins while entries < ~9x chunks.
+_COO_ENTRIES_PER_CHUNK = 9
+
+
+def _build_tail(n, tr, tc, tw, use_native):
+    """Overflow-tail representation: v1 chunk plan for clustered
+    spills, row-sorted COO for scattered ones (the coarse-geometry
+    common case).  Returns SpmvPlan | CooTail."""
+    v1 = build_plan(n, tr, tc, tw, use_native=use_native)
+    if len(tr) < _COO_ENTRIES_PER_CHUNK * v1.num_chunks:
+        order = np.argsort(tr, kind="stable")
+        return CooTail(
+            rows=jnp.asarray(tr[order].astype(np.int32)),
+            cols=jnp.asarray(tc[order].astype(np.int32)),
+            w=jnp.asarray(tw[order].astype(np.float32)),
+        )
+    return v1
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
 class SpmvPlanV2:
     """Bucket-transpose plan (a JAX pytree; see section comment above).
 
@@ -611,7 +674,8 @@ class SpmvPlanV2:
       rl_t: f32[C2g,8,512] pass-2 per-slot row offsets in the 512-row
         window, already in transposed slot order; -1 = padding.
       rb_of: int32[C2g*8] y-window row-block per pass-2 sub-chunk.
-      tail: v1 plan for bucket-overflow entries, or None.
+      tail: bucket-overflow entries — v1 plan (clustered spills) or
+        CooTail (scattered spills), or None.
       padded_nodes / n_cb / n_rbp / quantum / g1 / g2: static geometry.
     """
 
@@ -620,7 +684,7 @@ class SpmvPlanV2:
     weights_bf16: jnp.ndarray
     rl_t: jnp.ndarray
     rb_of: jnp.ndarray
-    tail: SpmvPlan | None
+    tail: SpmvPlan | CooTail | None
     padded_nodes: int
     n_cb: int
     n_rbp: int
@@ -654,6 +718,74 @@ class SpmvPlanV2:
         return cls(*children, *aux)
 
 
+# Overflow-tail feasibility bound for the geometry search: each spilled
+# entry costs at most one v1 tail chunk (chunks <= entries by
+# construction), and ~48K chunks is where the v1 kernel's per-chunk
+# scalar-prefetch arrays overflow the 1 MB SMEM (observed at 1.8M
+# nodes: 140K chunks = 1.08 MB).
+_SPILL_MAX = 40_000
+# Cost of one spilled entry in main-grid slot-equivalents, from v5e
+# measurement: a COO-tail entry ~16 ns vs ~0.26 ns per main-grid slot
+# (see CooTail).  Biases the search toward small tails without
+# forbidding them.
+_SPILL_COST = 64
+
+
+def _search_v2_geometry(
+    n: int, rows: np.ndarray, cols: np.ndarray
+) -> tuple[int, int]:
+    """Pick (rblock, Q) from the exact bucket histogram.
+
+    The matvec's three passes all stream/compute over the padded slot
+    grid, and the reduce's MXU time is K-stream-bound: hardware A/B
+    (2026-08-19, gen9.0) shows all three one-hot reduce kernels timing
+    identically at 4.1-4.6 ms because MXU passes ~ total slots, not
+    one-hot build ops.  Total slots = n_cb * n_rbp * Q is therefore THE
+    cost, and the old heuristics (occupancy>=4 coarsening + Q >= 1.5x
+    mean occupancy) left 2.56x padding at 1.8M nodes (Q=16 vs mean
+    occupancy 6.3).  Coarser row-blocks concentrate bucket occupancy
+    (sigma/mean ~ 1/sqrt(mean)), so Q can sit just above the mean:
+    searching (rblock, Q) over the EXACT per-bucket histogram finds
+    e.g. rblock=16384 / Q=64 (1.27x padding, spill ~13K entries) --
+    ~1.75x fewer slots.  Feasibility: spilled entries go to a v1 tail
+    plan whose chunk count must stay under the SMEM bound."""
+    P = _round_up(max(n, 1), WINDOW)
+    n_cb = P // WINDOW
+    # One bucket count at the finest row-block; coarser candidates fold
+    # it (row//rblock == (row//512) // (rblock//512)), so the O(nnz)
+    # pass runs once instead of once per candidate.
+    n_rb0 = P // 512
+    # Shifts + int32 keys: the key build is the search's O(nnz) cost
+    # and the max key n_cb*n_rb0 (~6.3M at 1.8M nodes) fits int32.
+    key = (cols >> 10).astype(np.int32) * np.int32(n_rb0)
+    key += (rows >> 9).astype(np.int32)
+    counts0 = np.bincount(key, minlength=n_cb * n_rb0).reshape(n_cb, n_rb0)
+    best = None  # (cost, rblock, Q)
+    for rb_cand in (512, 1024, 2048, 4096, 8192, 16384):
+        f = rb_cand // 512
+        n_rb = -(-n_rb0 // f)
+        counts = counts0
+        if f > 1:
+            pad = n_rb * f - n_rb0
+            if pad:
+                counts = np.pad(counts, ((0, 0), (0, pad)))
+            counts = counts.reshape(n_cb, n_rb, f).sum(axis=2)
+        # All 8 spill sums from one occupancy histogram.
+        occ_hist = np.bincount(counts.reshape(-1))
+        ks = np.arange(occ_hist.shape[0], dtype=np.int64)
+        for Q in (4, 8, 16, 32, 64, 128, 256, 512):
+            spill = int((np.maximum(ks - Q, 0) * occ_hist).sum())
+            if spill > _SPILL_MAX:
+                continue
+            n_rbp = _round_up(n_rb, 2048 // Q)
+            slots = n_cb * n_rbp * Q
+            cost = slots + _SPILL_COST * spill
+            if best is None or cost < best[0]:
+                best = (cost, rb_cand, Q)
+    assert best is not None  # Q=512 spills nothing at any rblock
+    return best[1], best[2]
+
+
 def build_plan_v2(
     n: int,
     rows: np.ndarray,
@@ -661,26 +793,20 @@ def build_plan_v2(
     weights: np.ndarray,
     use_native: bool | None = None,
     rblock: int | None = None,
+    quantum: int | None = None,
 ) -> SpmvPlanV2:
     # The (col-block x row-block) bucket GRID is dense, so its size
-    # grows as n^2/(WINDOW*rblock) while nnz grows ~linearly: at 1.8M
-    # nodes a 512-row block gives 6.3M buckets for 9.9M entries (mean
-    # occupancy 1.6, slots 5.1x nnz after the Q>=8 quantum) and both
-    # the dense transpose and the one-hot reduce pay the padding.
-    # Auto-coarsen the row block until mean occupancy >= 4 (capped at
-    # 4096 rows = 32 one-hot h-groups); sizes that are already dense
-    # (200K: occupancy 14) keep the historical 512.
-    if rblock is None:
-        P_est = _round_up(max(n, 1), WINDOW)
-        n_cb_est = P_est // WINDOW
-        nnz_est = max(rows.shape[0], 1)
+    # grows as n^2/(WINDOW*rblock) while nnz grows ~linearly; both the
+    # dense transpose and the one-hot reduce pay the slot padding.
+    # Pick (rblock, quantum) by exact-histogram search unless the
+    # caller pins them (see _search_v2_geometry).
+    if rblock is None and rows.shape[0] > 0:
+        rblock, q_auto = _search_v2_geometry(n, rows, cols)
+        if quantum is None:
+            quantum = q_auto
+    elif rblock is None:
         rblock = RBLOCK
-        while (
-            rblock < 4096
-            and nnz_est < 4 * n_cb_est * max(P_est // rblock, 1)
-        ):
-            rblock *= 2
-    assert rblock % 128 == 0 and rblock <= 4096
+    assert rblock % 128 == 0 and rblock <= 16384  # rl_t is int16
     if use_native is not False and rows.shape[0] > 0:
         try:
             from eig_kl_tpu.io import native_io
@@ -696,14 +822,16 @@ def build_plan_v2(
             q_min = 0
             for _ in range(5):
                 d = native_io.build_plan_v2_native(
-                    n, rows, cols, weights, q_min=q_min, rblock=rblock
+                    n, rows, cols, weights, q_min=q_min, rblock=rblock,
+                    q_force=quantum or 0,
                 )
                 tail = None
                 if d["tail"] is not None:
                     tr, tc, tw = d["tail"]
-                    tail = build_plan(n, tr, tc, tw, use_native=use_native)
+                    tail = _build_tail(n, tr, tc, tw, use_native)
                 if (
                     tail is None
+                    or isinstance(tail, CooTail)
                     or tail.num_chunks <= 48_000
                     or d["quantum"] >= 512
                 ):
@@ -756,9 +884,12 @@ def build_plan_v2(
     n_rb = -(-P // rblock)
 
     lam = max(nnz / (n_cb * n_rb), 1.0)
-    Q = 4
-    while Q < min(512, lam * 1.5):
-        Q *= 2
+    if quantum is not None and 4 <= quantum <= 512:
+        Q = quantum
+    else:
+        Q = 4
+        while Q < min(512, lam * 1.5):
+            Q *= 2
 
     cb = cols // WINDOW
     rb = rows // rblock
@@ -775,7 +906,9 @@ def build_plan_v2(
     main = rank < Q
     tail = None
     if (~main).any():
-        tail = build_plan(n, rows[~main], cols[~main], w[~main])
+        tail = _build_tail(
+            n, rows[~main], cols[~main], w[~main], use_native
+        )
 
     rows_m, cols_m, w_m = rows[main], cols[main], w[main]
     cb_m, rb_m, rank_m = cb[main], rb[main], rank[main]

@@ -34,7 +34,7 @@ extern "C" {
 // ekl_build_plan_v2 q_min argument, slot-grid rounding).  io/native_io.py
 // refuses a library whose version differs and rebuilds -- a stale .so
 // would otherwise silently misinterpret arguments.
-int64_t ekl_abi_version(void) { return 4; }
+int64_t ekl_abi_version(void) { return 5; }
 
 typedef struct {
   int64_t num_nets;
@@ -394,7 +394,8 @@ EklPlanV1* ekl_build_plan_v1(int64_t n, int64_t nnz, const int32_t* rows,
 
 EklPlanV2* ekl_build_plan_v2(int64_t n, int64_t nnz, const int32_t* rows,
                              const int32_t* cols, const double* w,
-                             int64_t q_min, int64_t rblock) {
+                             int64_t q_min, int64_t rblock,
+                             int64_t q_force) {
   // q_min: lower bound on the bucket quantum (0 = automatic).  Callers
   // raise it when the overflow tail comes back pathologically large
   // (clique-structured rows at multi-million-node scale overflow the
@@ -402,6 +403,12 @@ EklPlanV2* ekl_build_plan_v2(int64_t n, int64_t nnz, const int32_t* rows,
   // rblock: y-window rows per row-block (0 = the historical 512); the
   // caller coarsens it at multi-million-node scale so the dense bucket
   // grid stays ~nnz-sized (see ops/spmv_pallas.py build_plan_v2).
+  // q_force: exact bucket quantum (0 = the lam*1.5 rule below).  The
+  // caller's exact-spill geometry search (build_plan_v2 in Python)
+  // picks (rblock, Q) from the true bucket histogram; the rule here
+  // snaps Q to >= 1.5x the MEAN occupancy, which at coarse row-blocks
+  // wastes ~2x slot padding the search can avoid.  q_min still wins
+  // over q_force (the pathological-tail retry loop doubles q_min).
   if (rblock <= 0) rblock = KRB;
   EklPlanV2* out = new EklPlanV2();
   std::memset(out, 0, sizeof(EklPlanV2));
@@ -414,7 +421,11 @@ EklPlanV2* ekl_build_plan_v2(int64_t n, int64_t nnz, const int32_t* rows,
   double lam = nnz > 0 ? (double)nnz / (double)(n_cb * n_rb) : 1.0;
   if (lam < 1.0) lam = 1.0;
   int64_t Q = 4;
-  while (Q < 512 && (double)Q < lam * 1.5) Q *= 2;
+  if (q_force >= 4 && q_force <= 512 && (q_force & (q_force - 1)) == 0) {
+    Q = q_force;
+  } else {
+    while (Q < 512 && (double)Q < lam * 1.5) Q *= 2;
+  }
   while (Q < q_min && Q < 512) Q *= 2;
   int64_t per = KCH / Q > 0 ? KCH / Q : 1;
   // g1/128 must be a whole number of 16-row tiles so the gather pass

@@ -373,15 +373,24 @@ class TestBf16Intermediates:
         x = rng.standard_normal(n).astype(np.float32)
         y_ref = np.zeros(n, np.float32)
         np.add.at(y_ref, rows, w * x[cols])
-        for rblock in (1024, 2048, 4096):
-            for use_native in (True, None):
+        for rblock, quantum in (
+            (1024, None),
+            (2048, None),
+            (4096, None),
+            (8192, 32),
+            (16384, 64),  # H=128: the 1.8M-scale geometry-search pick
+        ):
+            for use_native in (True, False):
                 try:
                     plan = build_plan_v2(
-                        n, rows, cols, w, use_native=use_native, rblock=rblock
+                        n, rows, cols, w, use_native=use_native,
+                        rblock=rblock, quantum=quantum,
                     )
                 except (ImportError, OSError):
                     continue  # no native toolchain in this env
                 assert plan.rblock == rblock
+                if quantum is not None:
+                    assert plan.quantum == quantum
                 P = plan.padded_nodes
                 x2d = (
                     jnp.zeros(P, jnp.float32).at[:n].set(x).reshape(P // 128, 128)
@@ -478,25 +487,98 @@ class TestBf16Intermediates:
                     atol=1e-6,
                 )
 
-    def test_v2_rblock_autocoarsens_at_low_occupancy(self, rng):
-        """A sparse wide graph (bucket occupancy < 4 at rblock 512)
-        auto-selects a coarser row block; a dense one keeps 512."""
-        from eig_kl_tpu.ops.spmv_pallas import build_plan_v2
+    def test_v2_coo_tail_matches_dense(self, rng):
+        """The CooTail spill representation (XLA scatter-add for
+        scattered bucket overflow) is exact: a plan whose tail is
+        replaced by the equivalent CooTail matches the dense reference
+        through both spmv entry points, f32 and bf16.  Also checks the
+        chooser: a scattered synthetic spill (1 entry per far-apart
+        tile) goes COO, a clustered one keeps the v1 plan."""
+        import dataclasses
 
-        n = 60_000  # 59 col-blocks x 118 row-blocks = 6962 buckets
-        nnz = 4000  # occupancy 0.57 -> coarsen
+        from eig_kl_tpu.ops.spmv_pallas import (
+            CooTail, _build_tail, build_plan_v2, spmv_pallas_2d,
+        )
+
+        n, nnz = 6000, 18000
         rows = np.sort(rng.integers(0, n, nnz).astype(np.int64))
         cols = rng.integers(0, n, nnz).astype(np.int64)
         w = rng.random(nnz).astype(np.float32)
-        sparse_plan = build_plan_v2(n, rows, cols, w)
-        assert sparse_plan.rblock > 512
-        n2, nnz2 = 3000, 24000
-        rows2 = np.sort(rng.integers(0, n2, nnz2).astype(np.int64))
-        cols2 = rng.integers(0, n2, nnz2).astype(np.int64)
-        dense_plan = build_plan_v2(
-            n2, rows2, cols2, rng.random(nnz2).astype(np.float32)
+        # Extra scattered entries to carry in the tail (few enough
+        # that they land ~1 per (stripe x window) tile).
+        t = 40
+        tr = np.sort(rng.integers(0, n, t).astype(np.int64))
+        tc = rng.integers(0, n, t).astype(np.int64)
+        tw = rng.random(t).astype(np.float32)
+        x = rng.standard_normal(n).astype(np.float32)
+        y_ref = np.zeros(n, np.float32)
+        np.add.at(y_ref, rows, w * x[cols])
+        np.add.at(y_ref, tr, tw * x[tc])
+
+        # Chooser: scattered -> CooTail; clustered (one dense tile's
+        # worth of entries) -> v1 plan.
+        scattered = _build_tail(n, tr, tc, tw, None)
+        assert isinstance(scattered, CooTail)
+        assert bool(np.all(np.diff(np.asarray(scattered.rows)) >= 0))
+        cr = np.sort(rng.integers(0, 900, 5000).astype(np.int64))
+        clustered = _build_tail(
+            n, cr, rng.integers(0, 900, 5000).astype(np.int64),
+            rng.random(5000).astype(np.float32), None,
         )
-        assert dense_plan.rblock == 512
+        assert not isinstance(clustered, CooTail)
+
+        plan = dataclasses.replace(
+            build_plan_v2(n, rows, cols, w), tail=scattered
+        )
+        P = plan.padded_nodes
+        x2d = jnp.zeros(P, jnp.float32).at[:n].set(x).reshape(P // 128, 128)
+        y = np.asarray(
+            spmv_pallas_2d(plan, x2d, interpret=True)
+        ).reshape(-1)[:n]
+        np.testing.assert_allclose(y, y_ref, rtol=1e-4, atol=1e-4)
+        y16 = np.asarray(
+            spmv_pallas_2d(
+                plan, x2d, interpret=True, inter_dtype=jnp.bfloat16
+            )
+        ).reshape(-1)[:n]
+        assert (
+            np.abs(y16 - y_ref).max()
+            <= 2e-2 * max(np.abs(y_ref).max(), 1.0)
+        )
+
+    def test_v2_geometry_search_bounds_slot_padding(self, rng):
+        """The exact-histogram geometry search keeps total slot padding
+        under 2x nnz on a scale-free random instance where the old
+        occupancy heuristic + lam*1.5 quantum rule left ~3x (the
+        matvec's reduce is MXU-K-stream-bound, so slots ARE the cost;
+        measured on chip 2026-08-19: all three reduce kernels time
+        identically at 1.8M because padding, not one-hot build ops,
+        sets the wall).  The spill feasibility bound keeps the v1
+        overflow tail under the SMEM chunk budget."""
+        from eig_kl_tpu.ops.spmv_pallas import (
+            _SPILL_MAX, _search_v2_geometry, build_plan_v2,
+        )
+
+        n, nnz = 120_000, 600_000
+        rows = np.sort(rng.integers(0, n, nnz).astype(np.int64))
+        cols = rng.integers(0, n, nnz).astype(np.int64)
+        w = rng.random(nnz).astype(np.float32)
+        rblock, q = _search_v2_geometry(
+            n, rows.astype(np.int32), cols.astype(np.int32)
+        )
+        plan = build_plan_v2(n, rows, cols, w)
+        assert plan.rblock == rblock and plan.quantum == q
+        slots = plan.n_cb * plan.g1
+        assert slots <= 2.0 * nnz, (slots, nnz)
+        if plan.tail is not None:
+            from eig_kl_tpu.ops.spmv_pallas import CooTail
+
+            n_spill = (
+                plan.tail.rows.shape[0]
+                if isinstance(plan.tail, CooTail)
+                else plan.tail.num_chunks
+            )
+            assert n_spill <= _SPILL_MAX
 
     def test_v2_slot_grid_is_bf16_tile_aligned(self, rng):
         """The gather pass's per-column-block row count must be a whole

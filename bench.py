@@ -199,8 +199,20 @@ def main() -> int:
             mg, g, spec_config, kl_config, return_values=False
         )
         t_fused = time.perf_counter() - t0
-        assert kl_f.best_cut == kl.best_cut, (
-            f"fused best cut {kl_f.best_cut} != split {kl.best_cut}"
+        # Trajectory identity: the Pallas kernels are deterministic, so
+        # the swap sequence (iteration count) must match exactly.  The
+        # tracked cut VALUES inherit the initial-cut reduction's
+        # accumulation order, which XLA may reassociate differently in
+        # the one-program fusion context (observed at 1.8M: a constant
+        # 4-ulp offset, 3.5e-7 relative) — compare those to f32
+        # reduction tolerance, not bit equality.
+        assert kl_f.iterations == kl.iterations, (
+            f"fused iters {kl_f.iterations} != split {kl.iterations}"
+        )
+        rel = abs(kl_f.best_cut - kl.best_cut) / max(abs(kl.best_cut), 1.0)
+        assert rel <= 2e-6, (
+            f"fused best cut {kl_f.best_cut} vs split {kl.best_cut} "
+            f"(rel {rel:.2e})"
         )
         log(
             f"fused one-program e2e: {t_fused:.3f}s "

@@ -602,8 +602,8 @@ RBLOCK = 512          # pass-2 y-window rows per row-block
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class CooTail:
-    """Scattered bucket-overflow entries as plain row-sorted COO,
-    applied with one XLA gather + scatter-add.
+    """Scattered bucket-overflow entries as COO, applied with one XLA
+    gather + a short fixed sequence of unique-index scatter-adds.
 
     The v1 tail format pays one 512-slot chunk per (column stripe x
     1024-row window) tile; a Poisson spill at coarse-rblock geometry is
@@ -613,49 +613,72 @@ class CooTail:
     1.15 ms for the same spill as a 7992-chunk v1 plan), so scattered
     spills go COO and clustered spills (hundreds of entries per tile,
     e.g. clique rows) keep the v1 format; build_plan_v2 chooses by the
-    measured per-chunk/per-entry cost ratio."""
+    measured per-chunk/per-entry cost ratio.
 
-    rows: jnp.ndarray   # int32[t], sorted
+    Determinism: a single scatter-add with DUPLICATE row indices has
+    implementation-defined accumulation order, which XLA may compile
+    differently per fusion context -- observed as a 1-ulp gain
+    difference between the split and one-program fused pipelines that
+    flipped a selection tie.  Entries are therefore grouped by their
+    duplicate rank within the row (group k = each row's k-th entry,
+    ``offsets`` static): every group has unique rows, so each scatter
+    is order-free, and the groups apply in fixed program order."""
+
+    rows: jnp.ndarray   # int32[t], grouped by rank then row
     cols: jnp.ndarray   # int32[t]
     w: jnp.ndarray      # f32[t]
+    offsets: tuple      # static group boundaries, offsets[0]=0
 
     def tree_flatten(self):
-        return (self.rows, self.cols, self.w), ()
+        return (self.rows, self.cols, self.w), (self.offsets,)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children)
+        return cls(*children, *aux)
 
 
 def _coo_tail_add(y2d: jnp.ndarray, tail: CooTail, x2d: jnp.ndarray):
-    """y += A_tail @ x on the padded (R,128) layout."""
+    """y += A_tail @ x on the padded (R,128) layout (deterministic)."""
     xf = x2d.reshape(-1)
     yf = y2d.reshape(-1)
-    n = yf.shape[0]
-    add = jnp.zeros(n, jnp.float32).at[tail.rows].add(
-        tail.w * xf[tail.cols], mode="drop"
-    )
-    return (yf + add).reshape(y2d.shape)
+    c = tail.w * xf[tail.cols]
+    for a, b in zip(tail.offsets[:-1], tail.offsets[1:]):
+        yf = yf.at[tail.rows[a:b]].add(
+            c[a:b], mode="drop", unique_indices=True
+        )
+    return yf.reshape(y2d.shape)
 
 
 # Measured v5e cost ratio (see CooTail): one v1 tail chunk ~ 144 ns,
 # one COO entry ~ 16 ns -> COO wins while entries < ~9x chunks.
 _COO_ENTRIES_PER_CHUNK = 9
+# Each duplicate-rank group is one scatter op; a spill with very deep
+# row duplication is clustered by definition, so cap the group count
+# and let the v1 format take those.
+_COO_MAX_GROUPS = 32
 
 
 def _build_tail(n, tr, tc, tw, use_native):
     """Overflow-tail representation: v1 chunk plan for clustered
-    spills, row-sorted COO for scattered ones (the coarse-geometry
+    spills, rank-grouped COO for scattered ones (the coarse-geometry
     common case).  Returns SpmvPlan | CooTail."""
     v1 = build_plan(n, tr, tc, tw, use_native=use_native)
-    if len(tr) < _COO_ENTRIES_PER_CHUNK * v1.num_chunks:
-        order = np.argsort(tr, kind="stable")
-        return CooTail(
-            rows=jnp.asarray(tr[order].astype(np.int32)),
-            cols=jnp.asarray(tc[order].astype(np.int32)),
-            w=jnp.asarray(tw[order].astype(np.float32)),
-        )
-    return v1
+    if len(tr) >= _COO_ENTRIES_PER_CHUNK * v1.num_chunks:
+        return v1
+    order = np.argsort(tr, kind="stable")
+    tr, tc, tw = tr[order], tc[order], tw[order]
+    uniq, start, counts = np.unique(tr, return_index=True, return_counts=True)
+    if counts.max() > _COO_MAX_GROUPS:
+        return v1
+    rank = np.arange(len(tr)) - np.repeat(start, counts)
+    order = np.lexsort((tr, rank))
+    bounds = np.searchsorted(rank[order], np.arange(counts.max() + 1))
+    return CooTail(
+        rows=jnp.asarray(tr[order].astype(np.int32)),
+        cols=jnp.asarray(tc[order].astype(np.int32)),
+        w=jnp.asarray(tw[order].astype(np.float32)),
+        offsets=tuple(int(b) for b in bounds),
+    )
 
 
 @jax.tree_util.register_pytree_node_class

@@ -519,7 +519,14 @@ class TestBf16Intermediates:
         # worth of entries) -> v1 plan.
         scattered = _build_tail(n, tr, tc, tw, None)
         assert isinstance(scattered, CooTail)
-        assert bool(np.all(np.diff(np.asarray(scattered.rows)) >= 0))
+        # Determinism contract: every duplicate-rank group has unique,
+        # sorted rows (each scatter is then order-free).
+        srows = np.asarray(scattered.rows)
+        offs = scattered.offsets
+        assert offs[0] == 0 and offs[-1] == len(srows)
+        for a, b in zip(offs[:-1], offs[1:]):
+            grp = srows[a:b]
+            assert bool(np.all(np.diff(grp) > 0)), (a, b)
         cr = np.sort(rng.integers(0, 900, 5000).astype(np.int64))
         clustered = _build_tail(
             n, cr, rng.integers(0, 900, 5000).astype(np.int64),

@@ -470,6 +470,7 @@ def spmv_pallas_2d(
         use_bf16_w = (
             jnp.dtype(inter_dtype) == jnp.bfloat16
             and plan.weights_bf16 is not None
+            and os.environ.get("EIG_KL_TPU_BF16_W", "1") != "0"
         )
         y = _spmv_v2_call(
             plan.col_local,
@@ -560,13 +561,29 @@ def plan_for_graph(graph: Graph):
     stages are VMEM-bandwidth-bound (~40 MB of moves per stage), so
     the dense bucket transpose wins despite its slot padding."""
     n = graph.num_nodes
+    if graph.nnz <= 32_768:
+        # Tiny plans build in milliseconds; not worth a cache entry.
+        rows = np.repeat(np.arange(n, dtype=np.int64), graph.degrees)
+        return build_plan(
+            n, rows, graph.indices.astype(np.int64),
+            graph.data.astype(np.float32),
+        )
+    # v2 plans are a pure function of the matrix + geometry pins and
+    # cost seconds to derive at scale: consult the disk cache first
+    # (the plan is this framework's pre_saved_EIG — see plan_cache).
+    from eig_kl_tpu.ops import plan_cache
+
+    key = plan_cache.graph_key(graph)
+    plan = plan_cache.load_v2(key)
+    if plan is not None:
+        return plan
     rows = np.repeat(np.arange(n, dtype=np.int64), graph.degrees)
-    cols = graph.indices.astype(np.int64)
-    w = graph.data.astype(np.float32)
-    nnz = max(rows.shape[0], 1)
-    if nnz <= 32_768:
-        return build_plan(n, rows, cols, w)
-    return build_plan_v2(n, rows, cols, w)
+    plan = build_plan_v2(
+        n, rows, graph.indices.astype(np.int64),
+        graph.data.astype(np.float32),
+    )
+    plan_cache.save_v2(key, plan)
+    return plan
 
 
 # ---------------------------------------------------------------------------
@@ -822,7 +839,13 @@ def build_plan_v2(
     # grows as n^2/(WINDOW*rblock) while nnz grows ~linearly; both the
     # dense transpose and the one-hot reduce pay the slot padding.
     # Pick (rblock, quantum) by exact-histogram search unless the
-    # caller pins them (see _search_v2_geometry).
+    # caller pins them (see _search_v2_geometry).  EIG_KL_TPU_RBLOCK /
+    # EIG_KL_TPU_QUANTUM pin them from the environment (diagnostics:
+    # reproduce a past round's geometry without code changes).
+    if rblock is None and os.environ.get("EIG_KL_TPU_RBLOCK"):
+        rblock = int(os.environ["EIG_KL_TPU_RBLOCK"])
+    if quantum is None and os.environ.get("EIG_KL_TPU_QUANTUM"):
+        quantum = int(os.environ["EIG_KL_TPU_QUANTUM"])
     if rblock is None and rows.shape[0] > 0:
         rblock, q_auto = _search_v2_geometry(n, rows, cols)
         if quantum is None:

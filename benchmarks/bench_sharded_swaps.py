@@ -1,0 +1,130 @@
+#!/usr/bin/env python
+"""Per-swap cost of every KL engine on the real chip (VERDICT r4 #4).
+
+Times, at a configurable node count, the µs/swap of:
+
+  mega       single-chip Pallas mega-kernel (kl/megakernel.py)
+  smega1     sharded mega-kernel on a mesh of 1 (parallel/smega.py) —
+             same kernel structure the multi-chip path runs, minus the
+             two exchange rounds, so it bounds the sharded engine's
+             local-work cost per swap
+  xla        single-chip XLA while_loop engine (kl/engine.py)
+  oc1        owner-computes sharded engine on a mesh of 1
+             (parallel/sharded_kl2.py) — the round-4 multi-chip path
+
+Each engine warms up (compile) on a capped run, then times a full
+refinement to termination; µs/swap = time / iterations.  Prints a table
+and one JSON line.
+
+Run on the TPU (unset JAX_PLATFORMS); the XLA engines also run on CPU
+but the numbers are then meaningless for the table.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--circuit", default="benchmarks/data/gen_1.0_42.hgr")
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument(
+        "--engines", default="mega,smega1,xla,oc1",
+        help="comma list of mega,smega1,xla,oc1",
+    )
+    ap.add_argument(
+        "--cap", type=int, default=0,
+        help="swap cap (0 = run to termination)",
+    )
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from eig_kl_tpu.graph.expand import clique_expand
+    from eig_kl_tpu.io.hgr import read_hgr
+    from eig_kl_tpu.kl.init import random_split
+    from eig_kl_tpu.parallel.mesh import make_mesh
+    from eig_kl_tpu.utils.config import KLConfig
+
+    hg = read_hgr(args.circuit)
+    g = clique_expand(hg, "kl")
+    n = g.num_nodes
+    print(f"circuit: {n} nodes nnz={g.nnz} backend={jax.default_backend()}")
+    sides = random_split(n, seed=args.seed)
+    cap = args.cap if args.cap > 0 else None
+    cfg = KLConfig(max_iterations=cap)
+    warm_cfg = KLConfig(max_iterations=2)
+    on_tpu = jax.default_backend() == "tpu"
+
+    results = {}
+
+    def record(name, fn):
+        fn(warm_cfg)  # compile
+        t0 = time.perf_counter()
+        res = fn(cfg)
+        dt = time.perf_counter() - t0
+        us = dt / max(res.iterations, 1) * 1e6
+        results[name] = {
+            "us_per_swap": round(us, 2),
+            "iterations": int(res.iterations),
+            "seconds": round(dt, 4),
+            "best_cut": float(res.best_cut),
+        }
+        print(
+            f"{name:8s} {us:10.2f} us/swap  iters={res.iterations}"
+            f"  t={dt:.3f}s  best={res.best_cut:.1f}",
+            flush=True,
+        )
+
+    wanted = args.engines.split(",")
+
+    if "mega" in wanted:
+        from eig_kl_tpu.kl.megakernel import MegaGraph, refine_mega
+
+        dg = g.to_device(dtype=jnp.float32, with_plan=on_tpu)
+        mg = MegaGraph(g, plan=dg.plan, device_graph=dg)
+        record(
+            "mega",
+            lambda c: refine_mega(mg, sides, c, interpret=not on_tpu),
+        )
+
+    if "smega1" in wanted:
+        from eig_kl_tpu.parallel.smega import smega_refine
+
+        mesh1 = make_mesh(1)
+        record(
+            "smega1",
+            lambda c: smega_refine(
+                g, sides, mesh1, c, interpret=not on_tpu
+            ),
+        )
+
+    if "xla" in wanted:
+        from eig_kl_tpu.kl.engine import refine
+
+        dg2 = g.to_device(dtype=jnp.float32)
+        record("xla", lambda c: refine(dg2, sides, c))
+
+    if "oc1" in wanted:
+        from eig_kl_tpu.parallel.sharded_kl2 import sharded_refine_oc
+
+        mesh1 = make_mesh(1)
+        record(
+            "oc1",
+            lambda c: sharded_refine_oc(
+                g, sides, mesh1, c, dtype=jnp.float32
+            ),
+        )
+
+    print(json.dumps({"nodes": n, "engines": results}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -174,16 +174,20 @@ class Graph:
             data=self.data[order],
         )
 
-    def to_ell(self, pad_multiple: int = 8) -> tuple[np.ndarray, np.ndarray]:
+    def to_ell(
+        self, pad_multiple: int = 8, dtype=None
+    ) -> tuple[np.ndarray, np.ndarray]:
         """Pad CSR rows into (n, dmax) ELL index/weight matrices.
 
-        Pad entries hold (row's own index, weight 0.0).
+        Pad entries hold (row's own index, weight 0.0).  ``dtype``
+        overrides the weight dtype (building f32 directly halves the
+        host write volume vs building f64 and converting).
         """
         n = self.num_nodes
         deg = self.degrees
         dmax = max(_round_up(self.max_degree, pad_multiple), pad_multiple)
         ell_idx = np.tile(np.arange(n, dtype=np.int32)[:, None], (1, dmax))
-        ell_w = np.zeros((n, dmax), dtype=self.data.dtype)
+        ell_w = np.zeros((n, dmax), dtype=dtype or self.data.dtype)
         # Position of each stored entry inside its row.
         pos = np.arange(self.nnz, dtype=np.int64) - np.repeat(self.indptr[:-1], deg)
         row = np.repeat(np.arange(n, dtype=np.int64), deg)
@@ -240,17 +244,47 @@ class Graph:
         threshold = int(
             os.environ.get("EIG_KL_TPU_ELL_DEVICE_BYTES", str(192 << 20))
         )
+        import jax
+
+        key = None
+        if self.nnz > 32_768:
+            from eig_kl_tpu.ops import plan_cache
+
+            key = plan_cache.graph_key(self)
         if self.nnz > 0 and ell_bytes > threshold:
             ell_idx, ell_w = self.ell_on_device(pad_multiple, dtype)
+            hostside = ()
         else:
-            h_idx, h_w = self.to_ell(pad_multiple)
-            # Convert dtypes on HOST: jnp.asarray(x, dtype=...) with a
-            # differing dtype dispatches a one-off convert program per
-            # shape — pure cold-start cost (a remote compile each on
-            # the axon plugin); np.asarray + plain upload compiles
-            # nothing.
-            ell_idx = jnp.asarray(h_idx)
-            ell_w = jnp.asarray(np.asarray(h_w, dtype=dtype))
+            # Build weights directly in the target dtype (halves the
+            # host write volume) and ship EVERYTHING in one batched
+            # device_put: on the axon plugin each individual transfer
+            # pays ~1.5 s of tunnel round-trip latency regardless of
+            # size, so per-array jnp.asarray calls dominate the build.
+            # Host-side dtype conversion also avoids dispatching
+            # one-off convert programs (remote compiles) per shape.
+            # The padded ELL is a pure function of the graph: disk-
+            # cached next to the SpMV plan (ops/plan_cache.py).
+            hostside = None
+            if key is not None:
+                from eig_kl_tpu.ops import plan_cache
+
+                hostside = plan_cache.load_ell(key, pad_multiple, dtype)
+            if hostside is None:
+                hostside = self.to_ell(pad_multiple, dtype=dtype)
+                if key is not None:
+                    plan_cache.save_ell(key, pad_multiple, dtype, *hostside)
+            hostside = tuple(hostside)
+        batch = jax.device_put(
+            hostside
+            + (
+                np.asarray(self.weighted_degrees, dtype=dtype),
+                np.asarray(self.total_weight, dtype=dtype),
+            )
+        )
+        if hostside:
+            ell_idx, ell_w, degrees, total_weight = batch
+        else:
+            degrees, total_weight = batch
         plan = None
         if with_plan:
             from eig_kl_tpu.ops.spmv_pallas import plan_for_graph
@@ -259,8 +293,8 @@ class Graph:
         return DeviceGraph(
             ell_indices=ell_idx,
             ell_weights=ell_w,
-            degrees=jnp.asarray(np.asarray(self.weighted_degrees, dtype=dtype)),
-            total_weight=jnp.asarray(np.asarray(self.total_weight, dtype=dtype)),
+            degrees=degrees,
+            total_weight=total_weight,
             plan=plan,
         )
 

@@ -62,6 +62,48 @@ def graph_key(graph) -> str:
     return h.hexdigest()
 
 
+_ELL_CACHE_MAX = int(
+    os.environ.get("EIG_KL_TPU_ELL_CACHE_MAX", str(512 << 20))
+)
+
+
+def ell_path(key: str, pad_multiple: int, dtype) -> str | None:
+    root = cache_dir()
+    if root is None:
+        return None
+    return os.path.join(
+        root, f"{key}.ell{pad_multiple}.{np.dtype(dtype).name}.npz"
+    )
+
+
+def load_ell(key: str, pad_multiple: int, dtype):
+    """Cached padded-ELL pair (host arrays), or None."""
+    path = ell_path(key, pad_multiple, dtype)
+    if path is None or not os.path.exists(path):
+        return None
+    try:
+        with np.load(path) as z:
+            return z["ell_idx"], z["ell_w"]
+    except (OSError, KeyError, ValueError):
+        return None
+
+
+def save_ell(key: str, pad_multiple: int, dtype, ell_idx, ell_w) -> None:
+    """Persist the padded ELL (skipped above _ELL_CACHE_MAX bytes —
+    at multi-million-node scale re-deriving beats a giant cache file)."""
+    path = ell_path(key, pad_multiple, dtype)
+    if path is None or ell_idx.nbytes + ell_w.nbytes > _ELL_CACHE_MAX:
+        return
+    try:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + f".tmp{os.getpid()}"
+        with open(tmp, "wb") as f:
+            np.savez(f, ell_idx=ell_idx, ell_w=ell_w)
+        os.replace(tmp, path)
+    except OSError:
+        pass
+
+
 def _tail_to_host(tail):
     from eig_kl_tpu.ops.spmv_pallas import CooTail, SpmvPlan
 
@@ -159,21 +201,34 @@ def load_v2(key: str):
     path = os.path.join(root, key + ".npz")
     if not os.path.exists(path):
         return None
-    import jax.numpy as jnp
+    import jax
 
-    from eig_kl_tpu.ops.spmv_pallas import SpmvPlanV2, _host_bf16
+    from eig_kl_tpu.ops.spmv_pallas import (
+        SpmvPlanV2,
+        _bf16_w_enabled,
+        _host_bf16,
+    )
 
     try:
         with np.load(path) as z:
             aux = json.loads(bytes(z["aux"]).decode())
-            weights = z["weights"]
+            # ONE batched device_put for every array: on the axon
+            # plugin each individual host->device transfer pays ~1.5 s
+            # of tunnel round-trip latency regardless of payload size.
+            host = {k: z[k] for k in z.files if k != "aux"}
+            if _bf16_w_enabled():
+                host["weights_bf16"] = _host_bf16(host["weights"])
+            keys = list(host)
+            dev = dict(
+                zip(keys, jax.device_put(tuple(host[k] for k in keys)))
+            )
             return SpmvPlanV2(
-                col_local=jnp.asarray(z["col_local"]),
-                weights=jnp.asarray(weights),
-                weights_bf16=jnp.asarray(_host_bf16(weights)),
-                rl_t=jnp.asarray(z["rl_t"]),
-                rb_of=jnp.asarray(z["rb_of"]),
-                tail=_tail_from_host(aux["tail"], z, aux["tail_aux"]),
+                col_local=dev["col_local"],
+                weights=dev["weights"],
+                weights_bf16=dev.get("weights_bf16"),
+                rl_t=dev["rl_t"],
+                rb_of=dev["rb_of"],
+                tail=_tail_from_host(aux["tail"], dev, aux["tail_aux"]),
                 padded_nodes=aux["padded_nodes"],
                 n_cb=aux["n_cb"],
                 n_rbp=aux["n_rbp"],

@@ -106,6 +106,23 @@ def _host_bf16(w: np.ndarray) -> np.ndarray:
     return np.asarray(w, dtype=ml_dtypes.bfloat16)
 
 
+def _bf16_w_enabled() -> bool:
+    """bf16 WEIGHT streaming is opt-in (EIG_KL_TPU_BF16_W=1).
+
+    It halves the gather pass's dominant HBM input (1.8M-node matvec
+    4.5 -> 4.0 ms) but measurably degrades partition quality: the
+    round-4 headline bench regressed best cut 39.39k -> 41.90k on
+    gen1.0x seed 42, and the round-5 bisect
+    (benchmarks/diag_quality_bisect.py, 2026-08-20) isolated it to the
+    weight rounding — f32 weights give best 39201.8 (new geometry) /
+    39391.8 (r3 geometry); bf16 weights give 41900.5 / 42000.5 on the
+    same seed and solver.  bf16 INTERMEDIATES are unaffected (they
+    round products, not the matrix itself) and stay default-on via
+    SpectralConfig.inter_dtype.  The reference keeps matvec weights
+    f32 throughout (gKL2.cu:65-89)."""
+    return os.environ.get("EIG_KL_TPU_BF16_W") == "1"
+
+
 def _ensure_row_sorted(rows, cols, weights):
     """The native planners rely on CSR (row-major) entry order for
     their stable counting sort; sort first for arbitrary COO input."""
@@ -194,7 +211,7 @@ def build_plan(
 
             rows, cols, weights = _ensure_row_sorted(rows, cols, weights)
             d = native_io.build_plan_v1_native(n, rows, cols, weights)
-            cw8, rw8, col_local, row_local, w_arr, route_src = _pad_v1_chunks(
+            chunks = _pad_v1_chunks(
                 d["cw8"],
                 d["rw8"],
                 d["col_local"],
@@ -202,13 +219,10 @@ def build_plan(
                 d["weights"],
                 d["route_src"],
             )
+            # Batched transfer (per-array uploads pay ~1.5 s of axon
+            # tunnel latency each; see graph/csr.py).
             return SpmvPlan(
-                cw8=jnp.asarray(cw8),
-                rw8=jnp.asarray(rw8),
-                col_local=jnp.asarray(col_local),
-                row_local=jnp.asarray(row_local),
-                weights=jnp.asarray(w_arr),
-                route_src=jnp.asarray(route_src),
+                *jax.device_put(tuple(chunks)),
                 padded_nodes=d["padded_nodes"],
             )
         except (ImportError, OSError):
@@ -273,7 +287,7 @@ def build_plan(
     route_src = np.full((C, WINDOW), -1, np.int16)
     route_src[c_idx, r_idx] = p_idx
 
-    cw8, rw8, col_local, row_local, w_arr, route_src = _pad_v1_chunks(
+    chunks = _pad_v1_chunks(
         cw8,
         rw8,
         col_local.reshape(C, 4, 128),
@@ -281,15 +295,7 @@ def build_plan(
         w_arr.reshape(C, 4, 128),
         route_src.reshape(C, 8, 128),
     )
-    return SpmvPlan(
-        cw8=jnp.asarray(cw8),
-        rw8=jnp.asarray(rw8),
-        col_local=jnp.asarray(col_local),
-        row_local=jnp.asarray(row_local),
-        weights=jnp.asarray(w_arr),
-        route_src=jnp.asarray(route_src),
-        padded_nodes=P,
-    )
+    return SpmvPlan(*jax.device_put(tuple(chunks)), padded_nodes=P)
 
 
 def _pad_v1_chunks(cw8, rw8, col_local, row_local, w_arr, route_src):
@@ -470,7 +476,6 @@ def spmv_pallas_2d(
         use_bf16_w = (
             jnp.dtype(inter_dtype) == jnp.bfloat16
             and plan.weights_bf16 is not None
-            and os.environ.get("EIG_KL_TPU_BF16_W", "1") != "0"
         )
         y = _spmv_v2_call(
             plan.col_local,
@@ -690,10 +695,15 @@ def _build_tail(n, tr, tc, tw, use_native):
     rank = np.arange(len(tr)) - np.repeat(start, counts)
     order = np.lexsort((tr, rank))
     bounds = np.searchsorted(rank[order], np.arange(counts.max() + 1))
+    rows_d, cols_d, w_d = jax.device_put((
+        tr[order].astype(np.int32),
+        tc[order].astype(np.int32),
+        tw[order].astype(np.float32),
+    ))
     return CooTail(
-        rows=jnp.asarray(tr[order].astype(np.int32)),
-        cols=jnp.asarray(tc[order].astype(np.int32)),
-        w=jnp.asarray(tw[order].astype(np.float32)),
+        rows=rows_d,
+        cols=cols_d,
+        w=w_d,
         offsets=tuple(int(b) for b in bounds),
     )
 
@@ -706,11 +716,12 @@ class SpmvPlanV2:
     Attributes:
       col_local: int16[C1,4,128] pass-1 slot column offsets in-window.
       weights: f32[C1,4,128] pass-1 slot weights (0 = padding).
-      weights_bf16: bf16 copy of ``weights`` (host-converted, built
-        once) — the bf16-intermediate matvec streams this instead,
-        halving the gather pass's dominant HBM input (at 1.8M nodes:
-        102 MB of f32 weights vs 51 MB).  The f32-semantics paths
-        (cut oracle, gain init) keep streaming ``weights``.
+      weights_bf16: OPT-IN bf16 copy of ``weights`` (host-converted,
+        built only under EIG_KL_TPU_BF16_W=1; None otherwise) — the
+        bf16-intermediate matvec streams this instead, halving the
+        gather pass's dominant HBM input, but weight rounding costs
+        ~6% of final cut quality (see ``_bf16_w_enabled``), so the
+        default matvec streams f32 ``weights``.
       rl_t: f32[C2g,8,512] pass-2 per-slot row offsets in the 512-row
         window, already in transposed slot order; -1 = padding.
       rb_of: int32[C2g*8] y-window row-block per pass-2 sub-chunk.
@@ -721,7 +732,7 @@ class SpmvPlanV2:
 
     col_local: jnp.ndarray
     weights: jnp.ndarray
-    weights_bf16: jnp.ndarray
+    weights_bf16: jnp.ndarray | None
     rl_t: jnp.ndarray
     rb_of: jnp.ndarray
     tail: SpmvPlan | CooTail | None
@@ -903,12 +914,18 @@ def build_plan_v2(
                 rb_of = np.concatenate(
                     [rb_of, np.zeros(C2w - C2p, rb_of.dtype)]
                 )
+            # One batched transfer: per-array uploads each pay ~1.5 s
+            # of axon tunnel round-trip latency (see graph/csr.py).
+            host = [d["col_local"], d["weights"], rl_t, rb_of]
+            if _bf16_w_enabled():
+                host.append(_host_bf16(d["weights"]))
+            dev = jax.device_put(tuple(host))
             return SpmvPlanV2(
-                col_local=jnp.asarray(d["col_local"]),
-                weights=jnp.asarray(d["weights"]),
-                weights_bf16=jnp.asarray(_host_bf16(d["weights"])),
-                rl_t=jnp.asarray(rl_t),
-                rb_of=jnp.asarray(rb_of),
+                col_local=dev[0],
+                weights=dev[1],
+                weights_bf16=dev[4] if _bf16_w_enabled() else None,
+                rl_t=dev[2],
+                rb_of=dev[3],
                 tail=tail,
                 padded_nodes=d["padded_nodes"],
                 n_cb=d["n_cb"],
@@ -988,12 +1005,21 @@ def build_plan_v2(
     rb_of = np.zeros(C2p, np.int32)
     rb_of[:C2] = np.arange(C2) // (g2 // CHUNK)
 
+    host = [
+        col_local.reshape(C1, 4, 128),
+        w_arr.reshape(C1, 4, 128),
+        rl_t2.reshape(C2p // 8, 8, CHUNK),
+        rb_of,
+    ]
+    if _bf16_w_enabled():
+        host.append(_host_bf16(host[1]))
+    dev = jax.device_put(tuple(host))
     return SpmvPlanV2(
-        col_local=jnp.asarray(col_local.reshape(C1, 4, 128)),
-        weights=jnp.asarray(w_arr.reshape(C1, 4, 128)),
-        weights_bf16=jnp.asarray(_host_bf16(w_arr.reshape(C1, 4, 128))),
-        rl_t=jnp.asarray(rl_t2.reshape(C2p // 8, 8, CHUNK)),
-        rb_of=jnp.asarray(rb_of),
+        col_local=dev[0],
+        weights=dev[1],
+        weights_bf16=dev[4] if _bf16_w_enabled() else None,
+        rl_t=dev[2],
+        rb_of=dev[3],
         tail=tail,
         padded_nodes=P,
         n_cb=n_cb,

@@ -656,7 +656,11 @@ def _smega_call(
             pltpu.SemaphoreType.DMA((n_dev,)),
             pltpu.SemaphoreType.DMA((n_dev,)),
         ],
-        compiler_params=pltpu.CompilerParams(collective_id=7),
+        # collective_id names the cross-device launch barrier; a mesh
+        # of 1 has no collective ops, so don't claim one.
+        compiler_params=(
+            pltpu.CompilerParams(collective_id=7) if n_dev > 1 else None
+        ),
         interpret=interpret,
     )(ci, cw, oi, ow, sf0, as0, fp, ip)
 

@@ -119,12 +119,14 @@ class SpectralConfig:
       inter_dtype: dtype of the SpMV's streamed intermediates in the
         f32 power loop ("float32" or "bfloat16").  bf16 halves the
         matvec's HBM traffic through the v2 (bucket-transpose) plan;
-        the accumulation and the iterate itself stay f32.  Only
-        consulted by the power solver on the padded fast path.
-        NOTE the default is "bfloat16" (flipped in round 2): the
-        round-2+ parity samples and the on-TPU test lane
-        (tests/test_tpu_hardware.py) were all produced/validated with
-        it, and the f32 reference path remains one config flag away.
+        the accumulation and the iterate itself stay f32, and the
+        matrix WEIGHTS always stream f32 unless EIG_KL_TPU_BF16_W=1
+        opts in (weight rounding measurably hurts cut quality —
+        round-5 bisect: gen1.0x seed-42 best cut 39.2k f32-weights vs
+        41.9k bf16-weights, see ops/spmv_pallas._bf16_w_enabled; bf16
+        *intermediates* left best cut unchanged between rounds 2-3,
+        which both ran them: BENCH_r02 39385.8 / BENCH_r03 39391.8).
+        Only consulted by the power solver on the padded fast path.
         Plans whose pass-1 groups aren't 16-row aligned silently fall
         back to f32 (ops/spmv_pallas.py, spmv_pallas_2d).
       host_refine: polish the device Ritz pair with a ~25-step f64

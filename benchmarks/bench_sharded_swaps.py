@@ -24,9 +24,13 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> int:
@@ -59,13 +63,15 @@ def main() -> int:
     sides = random_split(n, seed=args.seed)
     cap = args.cap if args.cap > 0 else None
     cfg = KLConfig(max_iterations=cap)
-    warm_cfg = KLConfig(max_iterations=2)
     on_tpu = jax.default_backend() == "tpu"
 
     results = {}
 
     def record(name, fn):
-        fn(warm_cfg)  # compile
+        # Warm with the IDENTICAL config: a smaller cap compiles a
+        # different max_iters bucket and the timed run would then
+        # include its own compile.
+        fn(cfg)
         t0 = time.perf_counter()
         res = fn(cfg)
         dt = time.perf_counter() - t0

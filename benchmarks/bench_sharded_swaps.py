@@ -39,7 +39,15 @@ def main() -> int:
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument(
         "--engines", default="mega,smega1,xla,oc1",
-        help="comma list of mega,smega1,xla,oc1",
+        help="comma list of mega,smega1,smega8,xla,oc1,oc8 "
+        "(the *8 variants need an 8-device mesh — pass "
+        "--cpu-devices 8 for the virtual-mesh scaling check)",
+    )
+    ap.add_argument(
+        "--cpu-devices", type=int, default=0,
+        help="force the CPU backend with N virtual devices (the "
+        "jax.config route — the axon plugin intercepts JAX_PLATFORMS/"
+        "XLA_FLAGS env vars in this image, see tests/conftest.py)",
     )
     ap.add_argument(
         "--cap", type=int, default=0,
@@ -48,6 +56,12 @@ def main() -> int:
     args = ap.parse_args()
 
     import jax
+
+    if args.cpu_devices:
+        os.environ.setdefault("JAX_PLATFORMS", "cpu")
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", args.cpu_devices)
+
     import jax.numpy as jnp
 
     from eig_kl_tpu.graph.expand import clique_expand
@@ -111,6 +125,17 @@ def main() -> int:
             ),
         )
 
+    if "smega8" in wanted:
+        from eig_kl_tpu.parallel.smega import smega_refine
+
+        mesh8 = make_mesh(8)
+        record(
+            "smega8",
+            lambda c: smega_refine(
+                g, sides, mesh8, c, interpret=not on_tpu, align=128
+            ),
+        )
+
     if "xla" in wanted:
         from eig_kl_tpu.kl.engine import refine
 
@@ -125,6 +150,17 @@ def main() -> int:
             "oc1",
             lambda c: sharded_refine_oc(
                 g, sides, mesh1, c, dtype=jnp.float32
+            ),
+        )
+
+    if "oc8" in wanted:
+        from eig_kl_tpu.parallel.sharded_kl2 import sharded_refine_oc
+
+        mesh8 = make_mesh(8)
+        record(
+            "oc8",
+            lambda c: sharded_refine_oc(
+                g, sides, mesh8, c, dtype=jnp.float32
             ),
         )
 

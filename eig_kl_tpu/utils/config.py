@@ -123,9 +123,15 @@ class SpectralConfig:
         matrix WEIGHTS always stream f32 unless EIG_KL_TPU_BF16_W=1
         opts in (weight rounding measurably hurts cut quality —
         round-5 bisect: gen1.0x seed-42 best cut 39.2k f32-weights vs
-        41.9k bf16-weights, see ops/spmv_pallas._bf16_w_enabled; bf16
-        *intermediates* left best cut unchanged between rounds 2-3,
-        which both ran them: BENCH_r02 39385.8 / BENCH_r03 39391.8).
+        41.9k bf16-weights, see ops/spmv_pallas._bf16_w_enabled).
+        The bf16-INTERMEDIATES default is justified by a cut-quality
+        A/B (benchmarks/diag_bf16_ab.py, N=5 spectral seeds, TPU,
+        2026-08-20; table in PARITY.md "Matvec precision A/B"): final
+        cut bf16i beats all-f32 on ALL five paired seeds at gen1.0x
+        (38975+-244 vs 39737+-292) and ties it exactly on ibm10
+        (3116+-1049 vs 3124+-1042); bf16 weights is the only cell
+        that regresses (40258+-1370 at gen1.0x).  The reference's
+        all-f32 matvec (gKL2.cu:65-89) is the precision baseline.
         Only consulted by the power solver on the padded fast path.
         Plans whose pass-1 groups aren't 16-row aligned silently fall
         back to f32 (ops/spmv_pallas.py, spmv_pallas_2d).

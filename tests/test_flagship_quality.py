@@ -28,18 +28,31 @@ import jax
 
 from tests.conftest import circuit_path
 
-# (circuit, reference `cKL -EIG` best cut, tie_exact, cpu_starts)
+# (circuit, reference `cKL -EIG` best cut, tight bound, tie_exact,
+#  cpu_starts)
 # cpu_starts: the XLA multi-start engine runs starts sequentially on
 # CPU; ibm10's full best-of-8 costs ~5 min there (measured), so the
 # CPU lane guards it with the single-shot power+multi-pass flow
 # (measured 2502 vs the 3938 bound — same 36% headroom class).  The
 # TPU lane runs the full batched flagship on all four.
+#
+# The TIGHT bound (VERDICT r4 #7) is ~5% above the measured flagship
+# cuts (PARITY.md: ibm01 346.7, industry2 716.5, ibm10 2488.8; ibm10
+# CPU single-start 2502) so a deliberate ~6% quality slide FAILS the
+# suite — the reference-flow bound alone has 25-37% slack and let
+# round 4's 6.4% headline regression through.  The flagship flow is
+# deterministic per backend (fixed perturbation seeds, deterministic
+# kernels), so these are not flake-prone; if a legitimate change moves
+# quality within noise, re-measure and update the tight column with
+# the new PARITY row, don't widen it.
 FLAGSHIP_BOUNDS = [
-    ("fract", 21.50, True, 8),
-    ("ibm01", 497.41, False, 8),
-    ("industry2", 975.07, False, 8),
-    ("ibm10", 3938.27, False, 1),
+    ("fract", 21.50, None, True, 8),
+    ("ibm01", 497.41, 378.0, False, 8),
+    ("industry2", 975.07, 753.0, False, 8),
+    ("ibm10", 3938.27, 2627.0, False, 1),
 ]
+# ibm10 full 8-start flagship (TPU lane): 2488.8 measured -> 2611.
+_IBM10_TPU_TIGHT = 2611.0
 
 
 def _flagship(circ: str, starts: int) -> float:
@@ -61,8 +74,8 @@ def _flagship(circ: str, starts: int) -> float:
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("circ,bound,tie,starts", FLAGSHIP_BOUNDS)
-def test_flagship_beats_reference_flow(circ, bound, tie, starts):
+@pytest.mark.parametrize("circ,bound,tight,tie,starts", FLAGSHIP_BOUNDS)
+def test_flagship_beats_reference_flow(circ, bound, tight, tie, starts):
     best = _flagship(circ, starts)
     if tie:
         # fract: solver=auto resolves to lanczos at 149 nodes; the
@@ -71,14 +84,26 @@ def test_flagship_beats_reference_flow(circ, bound, tie, starts):
         assert best == pytest.approx(bound, abs=0.01)
     else:
         assert best < bound
+        assert best < tight, (
+            f"{circ}: flagship cut {best:.1f} beats the reference flow "
+            f"({bound}) but regressed past the tight guard ({tight} = "
+            f"measured flagship +5%, PARITY.md) — a real quality slide, "
+            f"not noise"
+        )
 
 
 @pytest.mark.tpu
 @pytest.mark.skipif(jax.default_backend() != "tpu", reason="no TPU backend")
-@pytest.mark.parametrize("circ,bound,tie,starts", FLAGSHIP_BOUNDS)
-def test_flagship_beats_reference_flow_tpu(circ, bound, tie, starts):
+@pytest.mark.parametrize("circ,bound,tight,tie,starts", FLAGSHIP_BOUNDS)
+def test_flagship_beats_reference_flow_tpu(circ, bound, tight, tie, starts):
     best = _flagship(circ, 8)
     if tie:
         assert best == pytest.approx(bound, abs=0.01)
     else:
+        if circ == "ibm10":
+            tight = _IBM10_TPU_TIGHT  # full 8-start flagship bound
         assert best < bound
+        assert best < tight, (
+            f"{circ}: TPU flagship cut {best:.1f} regressed past the "
+            f"tight guard ({tight} = measured flagship +5%, PARITY.md)"
+        )

@@ -1,0 +1,128 @@
+#!/usr/bin/env python
+"""gen 16x (3.23M nodes) end-to-end on the 8-shard mesh (VERDICT r4 #5).
+
+The single-chip mega-kernel's 8 B/node VMEM state caps one chip at
+~1.9M nodes (kl/megakernel.py); the sharded mega-kernel
+(parallel/smega.py) raises the ceiling to mesh_size x 1.9M by giving
+each shard its own VMEM-resident slice.  With one real chip, the
+multi-chip path can only be validated on the virtual CPU mesh — this
+script runs the FULL pipeline at 3,230,720 nodes (1.6x past the
+single-chip ceiling, impossible on one chip):
+
+  1. build: .hgr read + KL clique expansion (native planner)
+  2. spectral: power-iteration Fiedler split (XLA, sharded-capable)
+  3. KL: sharded mega-kernel on an 8-shard mesh, capped at --cap
+     swaps (interpret-mode Pallas is a numpy simulator — ~1e4x off
+     hardware speed, so timing it to termination is meaningless; the
+     cap demonstrates correctness, capacity, and the exchange
+     protocol at full scale)
+  4. oracle: the same --cap swaps through the NumPy engine
+     (kl/np_engine.py) — trajectories must be bit-identical
+
+Mesh note: runs with MORE virtual devices than shards (16 vs 8) so
+the PJRT CPU client keeps free pool threads for the >100 KB async
+host transfers interpret-mode pallas needs (see smega_refine's
+docstring and NOTES.md "Multi-device pallas-interpret gotcha").
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--circuit", default="benchmarks/data/gen_16.0_42.hgr")
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--shards", type=int, default=8)
+    ap.add_argument("--devices", type=int, default=16)
+    ap.add_argument("--cap", type=int, default=48)
+    ap.add_argument("--skip-oracle", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", args.devices)
+
+    import jax.numpy as jnp
+
+    from eig_kl_tpu.graph.expand import clique_expand
+    from eig_kl_tpu.io.hgr import read_hgr
+    from eig_kl_tpu.kl.np_engine import refine_np
+    from eig_kl_tpu.parallel.mesh import make_mesh
+    from eig_kl_tpu.parallel.smega import smega_refine
+    from eig_kl_tpu.spectral.partition import eig_partition
+    from eig_kl_tpu.utils.config import KLConfig, SpectralConfig
+
+    t0 = time.perf_counter()
+    hg = read_hgr(args.circuit)
+    g = clique_expand(hg, "kl")
+    t_build = time.perf_counter() - t0
+    n = g.num_nodes
+    print(f"build  {t_build:7.2f}s  n={n} nnz={g.nnz} "
+          f"backend={jax.default_backend()} devices={len(jax.devices())}",
+          flush=True)
+
+    t0 = time.perf_counter()
+    cfg = SpectralConfig(solver="power", seed=args.seed)
+    dg = g.to_device(dtype=jnp.float32)
+    eig = eig_partition(hg, cfg, dtype=jnp.float32, graph=dg)
+    t_spec = time.perf_counter() - t0
+    sides = np.asarray(eig.sides, dtype=np.int8)
+    print(f"spectral {t_spec:5.2f}s  iters={eig.iterations} "
+          f"lambda2={eig.eigenvalue:.6e}", flush=True)
+
+    kl_cfg = KLConfig(max_iterations=args.cap)
+    mesh = make_mesh(args.shards)
+    t0 = time.perf_counter()
+    sm = smega_refine(g, sides, mesh, kl_cfg, interpret=True)
+    t_kl = time.perf_counter() - t0
+    print(
+        f"smega[{args.shards}] {t_kl:5.1f}s  swaps={sm.iterations} "
+        f"init={sm.initial_cut:.1f} final={sm.final_cut:.1f} "
+        f"best={sm.best_cut:.1f} verified={sm.verified_cut:.1f}",
+        flush=True,
+    )
+    drift = abs(sm.verified_cut - sm.final_cut) / max(abs(sm.final_cut), 1.0)
+    assert drift < 1e-5, f"cut-drift oracle: {drift:.2e}"
+
+    out = {
+        "nodes": n, "nnz": int(g.nnz), "shards": args.shards,
+        "cap": args.cap, "build_s": round(t_build, 2),
+        "spectral_s": round(t_spec, 2), "smega_s": round(t_kl, 2),
+        "spectral_iters": int(eig.iterations),
+        "init_cut": float(sm.initial_cut), "best_cut": float(sm.best_cut),
+        "verified_cut": float(sm.verified_cut), "oracle": None,
+    }
+
+    if not args.skip_oracle:
+        t0 = time.perf_counter()
+        ref = refine_np(g, sides, kl_cfg)
+        t_np = time.perf_counter() - t0
+        np.testing.assert_array_equal(
+            np.asarray(sm.cut_trajectory), np.asarray(ref.cut_trajectory)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(sm.gain_trajectory), np.asarray(ref.gain_trajectory)
+        )
+        np.testing.assert_array_equal(sm.sides, ref.sides)
+        print(f"oracle {t_np:6.1f}s  np_engine trajectory BIT-IDENTICAL "
+              f"({sm.iterations} swaps @ {n} nodes)", flush=True)
+        out["oracle"] = "bit-identical"
+
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -833,7 +833,17 @@ def _search_v2_geometry(
             cost = slots + _SPILL_COST * spill
             if best is None or cost < best[0]:
                 best = (cost, rb_cand, Q)
-    assert best is not None  # Q=512 spills nothing at any rblock
+    if best is None:
+        # Dense small circuits (ibm01/industry2 class: few buckets,
+        # mean occupancy >> 512) overflow the scattered-spill ENTRY
+        # bound at every (rblock, Q) — but their spill is CLUSTERED,
+        # which the v1 chunk tail packs at up to 512 entries/chunk,
+        # far under the SMEM chunk bound the entry bound conservatively
+        # guards.  Fall back to the round-3 geometry (rblock=512,
+        # Q=512), which ran exactly this shape on chip; the native
+        # path's q_min retry below still enforces the true 48K-chunk
+        # SMEM bound on the tail it actually builds.
+        return 512, 512
     return best[1], best[2]
 
 

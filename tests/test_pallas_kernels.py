@@ -661,3 +661,37 @@ class TestMegaBatch:
             np.testing.assert_array_equal(rb[s].sides, r1.sides)
             np.testing.assert_array_equal(rb[s].best_sides, r1.best_sides)
             assert abs(rb[s].verified_cut - rb[s].final_cut) < 1e-3
+
+
+class TestDenseGeometryFallback:
+    def test_dense_small_circuit_geometry(self, rng):
+        """Dense small circuits (ibm01/industry2 class) overflow the
+        geometry search's scattered-spill entry bound at EVERY
+        (rblock, Q) candidate — mean bucket occupancy >> Q=512 — and
+        must fall back to the round-3 (512, 512) geometry with the
+        clustered v1 chunk tail instead of asserting (found by the
+        round-5 on-chip flagship lane: cEIG-parity circuits crashed
+        build_plan_v2 after the round-4 exact-histogram search
+        landed)."""
+        from eig_kl_tpu.ops.spmv_pallas import (
+            _search_v2_geometry,
+            build_plan_v2,
+            spmv_pallas_2d,
+        )
+
+        n, nnz = 1024, 90_000  # one column block; spill > 40K at any Q
+        rows = np.sort(rng.integers(0, n, nnz).astype(np.int64))
+        cols = rng.integers(0, n, nnz).astype(np.int64)
+        w = rng.random(nnz).astype(np.float32)
+        assert _search_v2_geometry(n, rows, cols) == (512, 512)
+        plan = build_plan_v2(n, rows, cols, w)
+        assert plan.rblock == 512 and plan.quantum == 512
+        x = rng.standard_normal(n).astype(np.float32)
+        y_ref = np.zeros(n, np.float32)
+        np.add.at(y_ref, rows, w * x[cols])
+        P = plan.padded_nodes
+        x2d = jnp.zeros(P, jnp.float32).at[:n].set(x).reshape(P // 128, 128)
+        y = np.asarray(
+            spmv_pallas_2d(plan, x2d, interpret=True)
+        ).reshape(-1)[:n]
+        np.testing.assert_allclose(y, y_ref, rtol=1e-4, atol=1e-4)

@@ -5,7 +5,6 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 import scipy.sparse as sp
-import scipy.sparse.linalg as spla
 
 from eig_kl_tpu.graph.expand import clique_expand
 from eig_kl_tpu.io.eigfile import read_eig_file, write_eig_file
@@ -96,16 +95,22 @@ def test_lanczos_ibm01_matches_spectra(ibm01):
 
 
 def test_lanczos_matches_scipy(rng):
-    """Cross-check lambda_2 against ARPACK on a random hypergraph."""
+    """Cross-check lambda_2 against an independent dense eigensolver on
+    a random hypergraph.
+
+    Dense ``eigvalsh`` (not ARPACK ``eigsh(k=2)``): on a DISCONNECTED
+    graph the zero eigenvalue has multiplicity >= 2 and ARPACK with k=2
+    can miss the duplicate, reporting a spuriously large "lambda_2"
+    while our solver correctly returns ~0.
+    """
     hg = random_hypergraph(rng, num_nodes=80, num_nets=160, max_net=5)
     g = clique_expand(hg, "eig")
     dg = g.to_device(dtype=jnp.float64)
     A = sp.csr_matrix((g.data, g.indices, g.indptr), shape=(g.num_nodes,) * 2)
     L = sp.diags(np.asarray(A.sum(axis=1)).ravel()) - A
-    vals = spla.eigsh(L, k=2, which="SA", return_eigenvectors=False)
-    lam2_scipy = float(np.sort(vals)[1])
+    lam2_dense = float(np.sort(np.linalg.eigvalsh(L.toarray()))[1])
     res = lanczos_fiedler(dg, SpectralConfig(tolerance=1e-9))
-    assert float(res.eigenvalue) == pytest.approx(lam2_scipy, abs=1e-8)
+    assert float(res.eigenvalue) == pytest.approx(lam2_dense, abs=1e-8)
 
 
 def test_median_split_conventions():

@@ -1,0 +1,115 @@
+#!/usr/bin/env python
+"""Find the largest single-chip mega-kernel instance (VERDICT r4 #5).
+
+The mega-kernel's per-node VMEM state is 8 B (two (R, 128) f32 arrays,
+kl/megakernel.py:11-13); the docstring estimates a ~1.9M-node/chip
+ceiling but nobody ever measured where Mosaic actually refuses.  This
+probe builds a synthetic 2-pin ring hypergraph at a given node count
+(VMEM fit depends on padded node count, not the circuit), runs a
+capped mega-kernel refinement on the real chip, and reports fit/no-fit
+per probe point, so the "largest instance" row in RESULTS.md is a
+measurement rather than an estimate.
+
+Run on the TPU (default backend).  Each distinct padded node count is
+a fresh Mosaic compile — keep the probe list short.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def ring_hypergraph(n: int, span: int = 3):
+    """2-pin nets i--(i+k) for k=1..span: constant degree 2*span,
+    connected, deterministic, O(n) to build."""
+    from eig_kl_tpu.io.hgr import Hypergraph
+
+    num_nets = n * span
+    pins = np.empty(2 * num_nets, dtype=np.int32)
+    base = np.arange(n, dtype=np.int64)
+    for k in range(1, span + 1):
+        s = (k - 1) * 2 * n
+        pins[s : s + 2 * n : 2] = base
+        pins[s + 1 : s + 2 * n : 2] = (base + k) % n
+    offs = np.arange(num_nets + 1, dtype=np.int64) * 2
+    return Hypergraph(
+        num_nodes=n, num_nets=num_nets, pins=pins, net_offsets=offs
+    )
+
+
+def probe(n: int, cap: int) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from eig_kl_tpu.graph.expand import clique_expand
+    from eig_kl_tpu.kl.init import random_split
+    from eig_kl_tpu.kl.megakernel import MegaGraph, refine_mega
+    from eig_kl_tpu.utils.config import KLConfig
+
+    t0 = time.perf_counter()
+    g_host = clique_expand(ring_hypergraph(n), "kl")
+    g = g_host.to_device(dtype=jnp.float32, with_plan=False)
+    jax.block_until_ready(g.ell_weights)
+    mg = MegaGraph(g_host, device_graph=g)
+    t_build = time.perf_counter() - t0
+    sides = random_split(n, seed=7)
+    row = {"n": n, "state_mb": round(mg.padded_nodes * 8 / 2**20, 2),
+           "build_s": round(t_build, 1)}
+    try:
+        t0 = time.perf_counter()
+        res = refine_mega(mg, sides, KLConfig(max_iterations=cap))
+        row.update(
+            fits=True,
+            swaps=int(res.iterations),
+            compile_plus_run_s=round(time.perf_counter() - t0, 1),
+            final_cut=float(res.final_cut),
+            verified_cut=float(res.verified_cut),
+        )
+        drift = abs(res.verified_cut - res.final_cut) / max(
+            abs(res.final_cut), 1.0
+        )
+        assert drift < 1e-5, f"drift {drift:.2e}"
+    except Exception as e:  # Mosaic VMEM overflow surfaces as RESOURCE_EXHAUSTED
+        msg = str(e)
+        row.update(fits=False, error=msg[:300])
+    return row
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--nodes",
+        default="2019200,2097152",
+        help="comma list of node counts to probe (default: gen10.0, 2^21)",
+    )
+    ap.add_argument("--cap", type=int, default=8)
+    args = ap.parse_args()
+
+    from eig_kl_tpu.utils.jaxcache import (
+        enable_persistent_cache,
+        ensure_responsive_backend,
+    )
+
+    ensure_responsive_backend()
+    enable_persistent_cache()
+    import jax
+
+    print(f"backend={jax.default_backend()}", file=sys.stderr, flush=True)
+    rows = []
+    for n in [int(x) for x in args.nodes.split(",")]:
+        row = probe(n, args.cap)
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

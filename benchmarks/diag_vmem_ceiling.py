@@ -54,16 +54,16 @@ def probe(n: int, cap: int) -> dict:
     from eig_kl_tpu.kl.megakernel import MegaGraph, refine_mega
     from eig_kl_tpu.utils.config import KLConfig
 
-    t0 = time.perf_counter()
-    g_host = clique_expand(ring_hypergraph(n), "kl")
-    g = g_host.to_device(dtype=jnp.float32, with_plan=False)
-    jax.block_until_ready(g.ell_weights)
-    mg = MegaGraph(g_host, device_graph=g)
-    t_build = time.perf_counter() - t0
-    sides = random_split(n, seed=7)
-    row = {"n": n, "state_mb": round(mg.padded_nodes * 8 / 2**20, 2),
-           "build_s": round(t_build, 1)}
+    row = {"n": n}
     try:
+        t0 = time.perf_counter()
+        g_host = clique_expand(ring_hypergraph(n), "kl")
+        g = g_host.to_device(dtype=jnp.float32, with_plan=False)
+        jax.block_until_ready(g.ell_weights)
+        mg = MegaGraph(g_host, device_graph=g)
+        row["state_mb"] = round(mg.padded_nodes * 8 / 2**20, 2)
+        row["build_s"] = round(time.perf_counter() - t0, 1)
+        sides = random_split(n, seed=7)
         t0 = time.perf_counter()
         res = refine_mega(mg, sides, KLConfig(max_iterations=cap))
         row.update(
@@ -92,6 +92,11 @@ def main() -> int:
     )
     ap.add_argument("--cap", type=int, default=8)
     args = ap.parse_args()
+
+    # Synthetic probe rings should neither pay the plan-cache host
+    # fetch (HBM-pressure transfers at the boundary we're probing)
+    # nor leave multi-hundred-MB cache entries behind.
+    os.environ["EIG_KL_TPU_PLAN_CACHE"] = "0"
 
     from eig_kl_tpu.utils.jaxcache import (
         enable_persistent_cache,

@@ -100,7 +100,10 @@ def save_ell(key: str, pad_multiple: int, dtype, ell_idx, ell_w) -> None:
         with open(tmp, "wb") as f:
             np.savez(f, ell_idx=ell_idx, ell_w=ell_w)
         os.replace(tmp, path)
-    except OSError:
+    except Exception:
+        # Cache writes are an accelerator, never a dependency: swallow
+        # anything (disk errors, but also device-side failures if the
+        # caller handed us device arrays under HBM pressure).
         pass
 
 
@@ -189,7 +192,13 @@ def save_v2(key: str, plan) -> None:
                 **tail_arrays,
             )
         os.replace(tmp, path)
-    except OSError:
+    except Exception:
+        # Non-fatal by contract (see docstring).  The host fetch of
+        # plan arrays can raise JAX runtime errors (e.g. a deferred
+        # RESOURCE_EXHAUSTED surfacing at transfer time) — a failed
+        # cache write must not kill a run the compute side of which
+        # may still succeed.  Observed: diag_vmem_ceiling probe at
+        # 2,019,200 nodes, 2026-08-20.
         pass
 
 

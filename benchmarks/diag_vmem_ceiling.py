@@ -77,9 +77,69 @@ def probe(n: int, cap: int) -> dict:
             abs(res.final_cut), 1.0
         )
         assert drift < 1e-5, f"drift {drift:.2e}"
-    except Exception as e:  # Mosaic VMEM overflow surfaces as RESOURCE_EXHAUSTED
-        msg = str(e)
-        row.update(fits=False, error=msg[:300])
+    except Exception as e:
+        # Mosaic VMEM overflow surfaces as a compile failure
+        # (remote_compile HTTP 500 / RESOURCE_EXHAUSTED).  The remote
+        # compile service also flakes occasionally — retry the kernel
+        # launch once (graph + plan already device-resident) so a
+        # transient 500 is not misread as a VMEM refusal.
+        if "500" in str(e) or "INTERNAL" in str(e):
+            try:
+                t0 = time.perf_counter()
+                res = refine_mega(mg, sides, KLConfig(max_iterations=cap))
+                row.update(
+                    fits=True,
+                    retried=True,
+                    swaps=int(res.iterations),
+                    compile_plus_run_s=round(time.perf_counter() - t0, 1),
+                    final_cut=float(res.final_cut),
+                    verified_cut=float(res.verified_cut),
+                )
+                return row
+            except Exception as e2:
+                e = e2
+        row.update(fits=False, error=str(e)[:600])
+    return row
+
+
+def probe_fast(n: int, cap: int) -> dict:
+    """Compile-only fit probe: calls the mega-kernel's jitted core
+    (`kl/megakernel._run`) with ON-DEVICE zero meta arrays of the real
+    shapes — no host graph build, no upload.  A degree-0 adjacency
+    makes every swap a no-op, but compile success/failure (the Mosaic
+    VMEM fit decision) depends only on the shapes, which is what this
+    probe measures.  ~compile-time per point instead of ~13 min."""
+    import jax
+    import jax.numpy as jnp
+
+    from eig_kl_tpu.kl.megakernel import _round_up, _run
+
+    P = _round_up(n, 1024)
+    R = P // 128
+    n8 = _round_up(n, 8)
+    W = 128
+    row = {"n": n, "state_mb": round(P * 8 / 2**20, 2), "fast": True}
+    max_iters = _round_up(cap, 4096)
+    try:
+        t0 = time.perf_counter()
+        meta_idx = jnp.zeros((n8, W), jnp.int32)
+        meta_w = jnp.zeros((n8, W), jnp.float32)
+        sf0 = jnp.ones((R, 128), jnp.float32)
+        as0 = jnp.zeros((R, 128), jnp.float32)
+        fparams = jnp.zeros((1, 2), jnp.float32)
+        iparams = jnp.asarray([[cap, 0]], jnp.int32)
+        out = _run(
+            meta_idx, meta_w, sf0, as0, fparams, iparams,
+            num_nodes=n, max_iters=max_iters,
+            terminate_limit=25, gain_eps=1e-6,
+        )
+        jax.block_until_ready(out)
+        row.update(fits=True,
+                   compile_plus_run_s=round(time.perf_counter() - t0, 1))
+    except Exception as e:
+        print(f"--- full error at n={n} ---\n{e}\n---", file=sys.stderr,
+              flush=True)
+        row.update(fits=False, error=str(e)[:600])
     return row
 
 
@@ -91,6 +151,8 @@ def main() -> int:
         help="comma list of node counts to probe (default: gen10.0, 2^21)",
     )
     ap.add_argument("--cap", type=int, default=8)
+    ap.add_argument("--fast", action="store_true",
+                    help="compile-only probe (zero meta, no graph build)")
     args = ap.parse_args()
 
     # Synthetic probe rings should neither pay the plan-cache host
@@ -110,7 +172,7 @@ def main() -> int:
     print(f"backend={jax.default_backend()}", file=sys.stderr, flush=True)
     rows = []
     for n in [int(x) for x in args.nodes.split(",")]:
-        row = probe(n, args.cap)
+        row = (probe_fast if args.fast else probe)(n, args.cap)
         rows.append(row)
         print(json.dumps(row), flush=True)
     return 0

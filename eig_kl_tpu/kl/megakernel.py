@@ -10,8 +10,14 @@ Pallas kernel where:
 
 * the whole per-node state is TWO (R, 128) f32 VMEM arrays -- sf =
   sign * free (selection + the chosen nodes' signs) and the cached
-  ``A @ s`` -- 8 bytes/node, so one chip refines up to ~1.9M nodes;
-  the final/best partitions are replayed from the swap log on device;
+  ``A @ s`` -- 8 bytes/node against the v5e's 16 MiB VMEM stack
+  budget.  Measured fit boundary (benchmarks/diag_vmem_ceiling.py
+  --fast, 2026-08-20): the kernel compiles AND runs at 2,078,720
+  nodes (state 15.86 MB) and Mosaic refuses at 2,088,960 ("Ran out
+  of memory in memory space vmem", state 15.94 MB + ~0.14 MB of
+  row-max caches/log staging).  Beyond that, the sharded mega-kernel
+  (parallel/smega.py) scales capacity with mesh size.  The final/best
+  partitions are replayed from the swap log on device;
 * node selection is two masked max-reductions plus an index-recovery
   min-reduction (first-max tie-breaking, matching ``jnp.argmax`` and the
   reference's strict ``>`` scans, cKL.cpp:341-347);

@@ -196,7 +196,7 @@ def _kernel(
     # Round-2 instead pipelined per-start state as VMEM input blocks
     # PLUS output blocks, which doubled the footprint and capped the
     # batched path at 1M padded nodes -- manual DMA keeps the budget
-    # identical to single-start (~1.9M nodes/chip) for any S.
+    # identical to single-start (~2.08M nodes/chip measured) for any S.
     if batched:
         i = pl.program_id(0)
         cp_f = pltpu.make_async_copy(
@@ -616,7 +616,7 @@ def _run_batched(
     """Multi-start form: grid over the start axis; each grid step DMAs
     its own (R, 128) state stripe from HBM into the shared VMEM scratch
     (the VMEM budget is one start regardless of S, identical to the
-    single-start path -- ~1.9M nodes/chip).  The stacked state/log
+    single-start path -- ~2.08M nodes/chip measured).  The stacked state/log
     arrays travel flattened to (S*R, 128) / (S*MLR, 128) so every DMA
     slice is a plain 2D (rows, 128) region."""
     S, R = sf0.shape[0], sf0.shape[1]
@@ -1128,7 +1128,7 @@ def refine_mega_batch(
     # Per-start state is DMA'd stripe-by-stripe from HBM (no pipelined
     # VMEM input blocks), so the batched kernel's VMEM budget equals
     # the single-start path's at any S and node counts up to the
-    # single-start ceiling (~1.9M padded) work batched.  The node axis
+    # single-start ceiling (2.08M padded, measured) work batched.  The node axis
     # pads to 1024 lanes so each (R, 128) stripe is 8-row aligned (the
     # extra rows arrive permanently locked via the free mask and never
     # affect selection).

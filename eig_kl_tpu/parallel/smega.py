@@ -8,8 +8,8 @@ the ENTIRE swap loop inside ONE Pallas kernel — selection from its
 local hierarchical row-max cache, candidate exchange and w_ab broadcast
 as in-kernel remote DMAs over the ICI, and the owner-computes ``A @ s``
 update against its *transpose-partitioned* adjacency — so multi-chip
-capacity (mesh_size x ~1.9M nodes) no longer trades away the
-mega-kernel's per-swap speed.
+capacity (mesh_size x ~2.08M nodes, the measured single-chip VMEM
+ceiling) no longer trades away the mega-kernel's per-swap speed.
 
 Per swap, per shard:
 

@@ -53,6 +53,14 @@ def main() -> int:
         "--cap", type=int, default=0,
         help="swap cap (0 = run to termination)",
     )
+    ap.add_argument(
+        "--marginal", action="store_true",
+        help="also report the MARGINAL us/swap per engine by "
+        "differencing two capped runs (caps 4100 and 8192 — one "
+        "4096-granule compile bucket for the Pallas engines, so the "
+        "program, log sizes and fixed host work are identical and the "
+        "difference is pure per-swap kernel cost)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -101,6 +109,36 @@ def main() -> int:
             f"  t={dt:.3f}s  best={res.best_cut:.1f}",
             flush=True,
         )
+        if args.marginal:
+            # Marginal per-swap cost: difference two capped runs.  Both
+            # caps land in the 8192 compile bucket for the Pallas
+            # engines (identical program + log sizes); the XLA engines
+            # compile per cap, so each cap gets its own warm call.
+            # This subtracts ALL fixed per-call cost (host build,
+            # upload, device_get, replay, verification oracle).
+            pts = []
+            for cap in (4100, 8192):
+                ccfg = KLConfig(max_iterations=cap)
+                fn(ccfg)  # warm this cap's program
+                best = None
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    r = fn(ccfg)
+                    dt = time.perf_counter() - t0
+                    best = dt if best is None else min(best, dt)
+                pts.append((r.iterations, best))
+            (i1, t1), (i2, t2) = pts
+            mus = (t2 - t1) / max(i2 - i1, 1) * 1e6
+            results[name]["marginal_us_per_swap"] = round(mus, 2)
+            results[name]["marginal_points"] = [
+                {"iters": int(i1), "seconds": round(t1, 4)},
+                {"iters": int(i2), "seconds": round(t2, 4)},
+            ]
+            print(
+                f"{name:8s} {mus:10.2f} us/swap MARGINAL "
+                f"({i1}sw {t1:.3f}s vs {i2}sw {t2:.3f}s)",
+                flush=True,
+            )
 
     wanted = args.engines.split(",")
 
@@ -115,24 +153,27 @@ def main() -> int:
         )
 
     if "smega1" in wanted:
-        from eig_kl_tpu.parallel.smega import smega_refine
+        from eig_kl_tpu.parallel.smega import SmegaPlan, smega_refine
 
         mesh1 = make_mesh(1)
+        plan1 = SmegaPlan(g, n_shards=1)
         record(
             "smega1",
             lambda c: smega_refine(
-                g, sides, mesh1, c, interpret=not on_tpu
+                g, sides, mesh1, c, interpret=not on_tpu, plan=plan1
             ),
         )
 
     if "smega8" in wanted:
-        from eig_kl_tpu.parallel.smega import smega_refine
+        from eig_kl_tpu.parallel.smega import SmegaPlan, smega_refine
 
         mesh8 = make_mesh(8)
+        plan8 = SmegaPlan(g, n_shards=8, align=128)
         record(
             "smega8",
             lambda c: smega_refine(
-                g, sides, mesh8, c, interpret=not on_tpu, align=128
+                g, sides, mesh8, c, interpret=not on_tpu, align=128,
+                plan=plan8,
             ),
         )
 

@@ -363,32 +363,60 @@ def _kernel(
 
     OVP = oa_i.shape[1]
 
-    def fetch_col(v, di, dw, oi, ow):
-        """DMA the dense (and overflow, if any) blocks of column v."""
-        mr = v // 8
-        blk = (mr // 8) * 8
-        cp0 = pltpu.make_async_copy(ci_hbm.at[pl.ds(blk, 8), :], di, sems.at[0])
-        cp1 = pltpu.make_async_copy(cw_hbm.at[pl.ds(blk, 8), :], dw, sems.at[1])
-        cp0.start()
-        cp1.start()
-        cp0.wait()
-        cp1.wait()
-        rr = mr % 8
-        base = (v % 8) * _LPC
-        c = di[rr, base]
+    def fetch_cols(a, b):
+        """DMA both columns' dense meta blocks concurrently, then both
+        overflow tails (if any) concurrently — one HBM-latency wait for
+        the swap instead of two to four serialized ones."""
+        blka = ((a // 8) // 8) * 8
+        blkb = ((b // 8) // 8) * 8
+        dense_cps = (
+            pltpu.make_async_copy(ci_hbm.at[pl.ds(blka, 8), :], ca_i, sems.at[0]),
+            pltpu.make_async_copy(cw_hbm.at[pl.ds(blka, 8), :], ca_w, sems.at[1]),
+            pltpu.make_async_copy(ci_hbm.at[pl.ds(blkb, 8), :], cb_i, sems.at[2]),
+            pltpu.make_async_copy(cw_hbm.at[pl.ds(blkb, 8), :], cb_w, sems.at[3]),
+        )
+        for cp in dense_cps:
+            cp.start()
+        for cp in dense_cps:
+            cp.wait()
+        ra = (a // 8) % 8
+        rb = (b // 8) % 8
+        basea = (a % 8) * _LPC
+        baseb = (b % 8) * _LPC
+        c_a = ca_i[ra, basea]
+        c_b = cb_i[rb, baseb]
 
-        @pl.when(c > _DENSE_CAP)
-        def _():
+        def ovf_cps(di, rr, base, oi, ow, s0, s1):
+            # Reconstructed identically at start and wait sites: a
+            # descriptor's wait() only waits its semaphore/byte count.
             optr = di[rr, base + _LPC - 1]
             oblk = (optr // 8) * 8
-            cp2 = pltpu.make_async_copy(oi_hbm.at[pl.ds(oblk, 8), :], oi, sems.at[2])
-            cp3 = pltpu.make_async_copy(ow_hbm.at[pl.ds(oblk, 8), :], ow, sems.at[3])
-            cp2.start()
-            cp3.start()
-            cp2.wait()
-            cp3.wait()
+            return (
+                pltpu.make_async_copy(oi_hbm.at[pl.ds(oblk, 8), :], oi, sems.at[s0]),
+                pltpu.make_async_copy(ow_hbm.at[pl.ds(oblk, 8), :], ow, sems.at[s1]),
+            )
 
-        return rr, base, c
+        @pl.when(c_a > _DENSE_CAP)
+        def _():
+            for cp in ovf_cps(ca_i, ra, basea, oa_i, oa_w, 4, 5):
+                cp.start()
+
+        @pl.when(c_b > _DENSE_CAP)
+        def _():
+            for cp in ovf_cps(cb_i, rb, baseb, ob_i, ob_w, 6, 7):
+                cp.start()
+
+        @pl.when(c_a > _DENSE_CAP)
+        def _():
+            for cp in ovf_cps(ca_i, ra, basea, oa_i, oa_w, 4, 5):
+                cp.wait()
+
+        @pl.when(c_b > _DENSE_CAP)
+        def _():
+            for cp in ovf_cps(cb_i, rb, baseb, ob_i, ob_w, 6, 7):
+                cp.wait()
+
+        return ra, basea, c_a, rb, baseb, c_b
 
     def cond(carry):
         it, cut, comp, best_cut, term, nf0, nf1, stop = carry
@@ -401,8 +429,7 @@ def _kernel(
         m_r0, lb = select_local(False)
         m_l, a, m_r, b = exchange(slot, m_l0, la, m_r0, lb)
 
-        ra, basea, c_a = fetch_col(a, ca_i, ca_w, oa_i, oa_w)
-        rb, baseb, c_b = fetch_col(b, cb_i, cb_w, ob_i, ob_w)
+        ra, basea, c_a, rb, baseb, c_b = fetch_cols(a, b)
 
         # Selected nodes come off fixed sides: a from s > 0, b from
         # s < 0 (the masked selects), so the signs are constants.
@@ -731,6 +758,62 @@ def _build_smega(
     return jax.jit(sharded)
 
 
+class SmegaPlan:
+    """Prebuilt per-(graph, n_shards, align) smega arrays.
+
+    The column-transpose meta layout is an O(nnz log nnz) host sort and
+    the padded ELL is O(n x max_degree); both depend only on the graph
+    and the shard count, never on the initial partition.  Production
+    flows (multi-start, multi-pass, ILS kicks, benchmarking) build the
+    plan once and pass it to every :func:`smega_refine` call — the
+    analog of :class:`eig_kl_tpu.kl.megakernel.MegaGraph` for the
+    sharded engine.  Device placement is cached per mesh as ONE batched
+    ``jax.device_put`` in the shard_map's input shardings (each
+    separate transfer through the axon tunnel costs ~1.5 s regardless
+    of size; see NOTES.md "Tunnel-latency discovery").
+    """
+
+    def __init__(self, g: Graph, n_shards: int, align: int = 1024):
+        assert align % 128 == 0
+        self.graph = g
+        self.n_shards = n_shards
+        self.align = align
+        n = g.num_nodes
+        self.n_pad = _round_up(n, n_shards * align)
+        self.ell_idx, self.ell_w, self.deg = _pad_ell(
+            g, self.n_pad, np.dtype(np.float32)
+        )
+        ci, cw, oi, ow = _build_colT(g, self.n_pad, n_shards)
+        MR = ci.shape[1]
+        OR, OVP = oi.shape[1], oi.shape[2]
+        self.ci = ci.reshape(n_shards * MR, 128)
+        self.cw = cw.reshape(n_shards * MR, 128)
+        self.oi = oi.reshape(n_shards * OR, OVP)
+        self.ow = ow.reshape(n_shards * OR, OVP)
+        # CSR row ids for the host initial-cut recount and the
+        # from-scratch verification oracle (reused across calls).
+        self.rows = np.repeat(np.arange(n, dtype=np.int64), g.degrees)
+        self._dev = None
+        self._dev_mesh = None
+
+    def device_arrays(self, mesh: Mesh):
+        """The seven graph inputs, device-placed in shard_map order."""
+        if self._dev is None or self._dev_mesh is not mesh:
+            from jax.sharding import NamedSharding
+
+            sh2 = NamedSharding(mesh, P("mp", None))
+            sh1 = NamedSharding(mesh, P("mp"))
+            self._dev = jax.device_put(
+                (
+                    self.ell_idx, self.ell_w, self.deg,
+                    self.ci, self.cw, self.oi, self.ow,
+                ),
+                (sh2, sh2, sh1, sh2, sh2, sh2, sh2),
+            )
+            self._dev_mesh = mesh
+        return self._dev
+
+
 def smega_refine(
     g: Graph,
     sides: np.ndarray,
@@ -739,12 +822,18 @@ def smega_refine(
     *,
     interpret: bool | None = None,
     align: int = 1024,
+    plan: SmegaPlan | None = None,
 ) -> KLResult:
     """Sharded mega-kernel KL refinement over the mesh's "mp" axis.
 
     Trajectory-identical to the single-chip engines (same selection
     ties, same float ops in the same per-element order); capacity and
     per-swap selection cost scale with the mesh.
+
+    ``plan`` (a :class:`SmegaPlan`) skips the O(nnz log nnz) host
+    build + upload on repeated refinements of the same graph — pass it
+    whenever more than one call shares a graph (multi-start, ILS,
+    benchmarks).
 
     ``align`` sets the per-shard node granularity.  Hardware runs keep
     the default 1024 (whole (8, 128)-tiled VMEM state blocks).
@@ -761,11 +850,15 @@ def smega_refine(
     assert align % 128 == 0
     n = g.num_nodes
     n_shards = mesh.shape["mp"]
+    if plan is None:
+        plan = SmegaPlan(g, n_shards, align)
+    else:
+        assert plan.n_shards == n_shards, (
+            f"plan built for {plan.n_shards} shards, mesh has {n_shards}"
+        )
+        assert plan.graph is g or plan.graph.num_nodes == n
     # Each shard's slice is whole (*, 128) rows.
-    n_pad = _round_up(n, n_shards * align)
-    np_dtype = np.dtype(np.float32)
-    ell_idx, ell_w, deg = _pad_ell(g, n_pad, np_dtype)
-    ci, cw, oi, ow = _build_colT(g, n_pad, n_shards)
+    n_pad = plan.n_pad
 
     sides = np.asarray(sides, dtype=np.int8)
     sides_pad = np.zeros(n_pad, dtype=np.int8)
@@ -792,22 +885,13 @@ def smega_refine(
     # Initial cut on host (f64 recount, exact to f32 for the dyadic
     # parity weights) — the smega program carries NO XLA collectives.
     s0 = 1.0 - 2.0 * sides.astype(np.float64)
-    rows0 = np.repeat(np.arange(n, dtype=np.int64), g.degrees)
     s_as0 = float(
-        (g.data.astype(np.float64) * s0[rows0] * s0[g.indices]).sum()
+        (g.data.astype(np.float64) * s0[plan.rows] * s0[g.indices]).sum()
     )
     cut0 = np.float32(0.25 * (float(g.weighted_degrees.sum()) - s_as0))
-    MR = ci.shape[1]
-    OR, OVP = oi.shape[1], oi.shape[2]
     sf_out, log_cut, log_gain, log_a, log_b, sc = jax.device_get(
         fn(
-            jnp.asarray(ell_idx),
-            jnp.asarray(ell_w),
-            jnp.asarray(deg),
-            jnp.asarray(ci.reshape(n_shards * MR, 128)),
-            jnp.asarray(cw.reshape(n_shards * MR, 128)),
-            jnp.asarray(oi.reshape(n_shards * OR, OVP)),
-            jnp.asarray(ow.reshape(n_shards * OR, OVP)),
+            *plan.device_arrays(mesh),
             jnp.asarray(sides_pad),
             jnp.asarray(cut0, jnp.float32),
             jnp.asarray(n - n1, jnp.int32),
@@ -826,9 +910,8 @@ def smega_refine(
     # From-scratch verification oracle (gKL.cu:524-530): host f64
     # recount of the final partition over the CSR entries.
     s_fin = 1.0 - 2.0 * fin_sides[:n].astype(np.float64)
-    rows = np.repeat(np.arange(n, dtype=np.int64), g.degrees)
     s_as = float(
-        (g.data.astype(np.float64) * s_fin[rows] * s_fin[g.indices]).sum()
+        (g.data.astype(np.float64) * s_fin[plan.rows] * s_fin[g.indices]).sum()
     )
     verified = 0.25 * (float(g.weighted_degrees.sum()) - s_as)
     return KLResult(

@@ -118,3 +118,30 @@ def test_smega_honors_cap(problem):
             interpret=True, align=128,
         )
         assert sm.iterations <= cap
+
+
+def test_smega_plan_reuse(problem):
+    """A prebuilt SmegaPlan must produce bit-identical results to the
+    build-per-call path, and serve multiple refinements (different
+    initial partitions) from one host build + device upload."""
+    from eig_kl_tpu.parallel.smega import SmegaPlan
+
+    g, sides, ref = problem
+    mesh = make_mesh(2)
+    plan = SmegaPlan(g, n_shards=2, align=128)
+    sm = smega_refine(
+        g, sides, mesh, KLConfig(), interpret=True, align=128, plan=plan
+    )
+    _assert_parity(sm, ref)
+    # Second call, different init, same plan object (device cache warm).
+    sides2 = random_split(g.num_nodes, seed=17)
+    ref2 = refine(g.to_device(dtype=jnp.float32), sides2, KLConfig())
+    sm2 = smega_refine(
+        g, sides2, mesh, KLConfig(), interpret=True, align=128, plan=plan
+    )
+    _assert_parity(sm2, ref2)
+    # Shard-count mismatch is refused, not silently rebuilt.
+    with pytest.raises(AssertionError):
+        smega_refine(
+            g, sides, make_mesh(1), KLConfig(), interpret=True, plan=plan
+        )
